@@ -1,0 +1,40 @@
+"""Canonical JSON writer.
+
+The reference emits JSON via Gson with insertion-ordered keys and compact
+separators (golden: ``{"Output":[{"foo":2}]}`` —
+src/test/java/com/google/cloud/healthcare/etl/pipeline/MappingFnTest.java:105-150).
+Spark's ``to_json`` produces the same compact form, so the engine's two
+backends (Catalyst VARIANT expressions and pandas UDFs) must agree with each
+other AND with the goldens. This module is the single definition of "what a
+JSON output byte-for-byte looks like" for the Python side; it is unit-tested
+against Spark's ``to_json`` output.
+
+Rules:
+* insertion-ordered object keys (Python dicts already preserve this)
+* compact separators ``,`` ``:``
+* no ASCII-escaping of non-ASCII (UTF-8 passthrough, like Gson/Spark)
+* ints print as ints, floats as shortest repr (json module default)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+_MISSING = object()  # sentinel: field absent (Whistle nil-propagation)
+
+
+def dumps(value: Any) -> str:
+    return json.dumps(_strip_missing(value), ensure_ascii=False, separators=(",", ":"))
+
+
+def loads(s: str) -> Any:
+    return json.loads(s)
+
+
+def _strip_missing(value: Any) -> Any:
+    if isinstance(value, dict):
+        return {k: _strip_missing(v) for k, v in value.items() if v is not _MISSING}
+    if isinstance(value, list):
+        return [_strip_missing(v) for v in value if v is not _MISSING]
+    return value

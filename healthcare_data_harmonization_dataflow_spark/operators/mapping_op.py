@@ -1,0 +1,118 @@
+"""The mapping operator — the engine's core transform.
+
+Re-expression of ``ParDo(MappingFn).withOutputTags(MAPPING_TAG,
+[ERROR_ENTRY_TAG])`` (Hl7v2ToFhirStreamingRunner.java:203-206,
+MappingFn.java:212-225): one pass over the input producing a union-typed
+result with ``ok`` (output JSON string) and ``err`` (ErrorEntry struct)
+columns; exactly one of the two is non-null per row.
+
+Semantics locked to MappingFnTest.java:
+* valid input  -> ok = transformed JSON, err = null            (:105-150)
+* invalid JSON -> ok = null, err.sources == [id], err.step set (:77-103)
+* invalid config -> raises at compile time, before any data    (:66-75)
+
+Backends (see mapping_compile.py): ``columns`` keeps the transform inside
+whole-stage codegen (VARIANT expressions); ``pandas`` ships the compiled
+closure to Arrow-batched workers (one engine per worker process — the
+module-level cache below is the Spark analogue of MappingFn.java:156-192's
+once-per-JVM synchronized init).
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.mapping_compile import CompiledMapping, compile_mapping
+from ..model.errors import ERROR_ENTRY_SCHEMA, STEP_MAPPING, error_entry
+
+# per-worker-process compiled-engine cache (init once per executor, not per batch)
+_ENGINE_CACHE: dict[str, CompiledMapping] = {}
+
+
+def _engine(config_text: str) -> CompiledMapping:
+    eng = _ENGINE_CACHE.get(config_text)
+    if eng is None:
+        eng = compile_mapping(config_text)
+        _ENGINE_CACHE[config_text] = eng
+    return eng
+
+
+def apply_mapping(
+    df: DataFrame,
+    config_text: str,
+    id_col: str = "id",
+    data_col: str = "data",
+    backend: str = "auto",
+    step: str = STEP_MAPPING,
+    clock: str | None = None,
+) -> DataFrame:
+    """Return ``df`` + columns ``ok`` (string) and ``err`` (ErrorEntry).
+
+    ``backend="auto"`` uses Catalyst VARIANT expressions when the config is
+    projective, else the Arrow/pandas closure. ``clock`` fixes the error
+    timestamp for deterministic tests.
+    """
+    mapping = compile_mapping(config_text)  # fail-fast on bad config
+
+    if backend == "auto":
+        backend = "columns" if mapping.supports_columns() else "pandas"
+
+    if backend == "columns":
+        parsed_ok = F.try_parse_json(F.col(data_col)).isNotNull()
+        ok = F.when(parsed_ok, mapping.output_column(F.col(data_col)))
+        err = F.when(
+            ~parsed_ok | F.col(data_col).isNull(),
+            error_entry(
+                step=step,
+                message=F.concat(F.lit("invalid input JSON: "), F.coalesce(F.col(data_col), F.lit("<null>"))),
+                sources=F.array(F.col(id_col)),
+                clock=clock,
+            ),
+        )
+        return df.withColumn("ok", ok).withColumn("err", err)
+
+    if backend != "pandas":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    result_schema = StructType(
+        [StructField("ok", StringType()), StructField("err", ERROR_ENTRY_SCHEMA)]
+    )
+
+    @F.pandas_udf(result_schema)
+    def map_batch(ids: pd.Series, datas: pd.Series) -> pd.DataFrame:
+        eng = _engine(config_text)
+        oks: list[str | None] = []
+        errs: list[dict | None] = []
+        ts = clock  # fixed clock or per-batch now
+        if ts is None:
+            ts = pd.Timestamp.utcnow().strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        for i, data in zip(ids, datas):
+            try:
+                if data is None:
+                    raise ValueError("invalid input JSON: <null>")
+                oks.append(eng.transform(data))
+                errs.append(None)
+            except Exception as e:  # recoverable: report-only (ErrorEnabledDoFn.java:75-77)
+                oks.append(None)
+                errs.append(
+                    {
+                        "error_resource": None,
+                        "stacktrace": traceback.format_exc(),
+                        "error_message": f"invalid input JSON: {data if data is not None else '<null>'}",
+                        "timestamp": ts,
+                        "step": step,
+                        "sources": [i],
+                    }
+                )
+        return pd.DataFrame({"ok": oks, "err": errs})
+
+    res = df.withColumn("_mapres", map_batch(F.col(id_col), F.col(data_col)))
+    return res.withColumn("ok", F.col("_mapres.ok")).withColumn("err", F.col("_mapres.err")).drop(
+        "_mapres"
+    )

@@ -1,0 +1,168 @@
+"""Mapping-core parity tests.
+
+Mirrors the reference's correctness contract:
+* MappingFnTest.java:52-150 — golden outputs, bad-input error semantics,
+  fail-fast invalid config.
+* src/test/resources/streaming/e2e/test{1,2,3} — root_mapping textproto
+  corpus: {"timestamp":N,"message":{...}} -> {"testOutput":[{...}]}.
+Both execution backends (Catalyst VARIANT columns, pandas/Arrow closure)
+must produce byte-identical output.
+"""
+
+import pytest
+
+from healthcare_data_harmonization_dataflow_spark.functions.mapping_compile import (
+    compile_mapping,
+)
+from healthcare_data_harmonization_dataflow_spark.functions.mapping_lang import (
+    MappingConfigError,
+)
+from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
+from healthcare_data_harmonization_dataflow_spark.operators.mapping_op import apply_mapping
+
+# the exact config from MappingFnTest.java:52-56
+TEST_CONFIG = """
+out Output: Test(root);
+def Test(input) {
+  foo: input.bar;
+}
+"""
+
+# the e2e corpus config (identical.mapping_config.textproto)
+E2E_CONFIG = """
+root_mapping {
+  value_source { from_source: "." }
+  target_object: "testOutput"
+}
+"""
+
+CLOCK = "2020-01-01T00:00:00.000Z"
+
+
+# ------------------------------------------------------------- compiler units
+def test_invalid_config_fails_fast():
+    # MappingFnTest.java:66-75: random string config -> init throws
+    with pytest.raises(MappingConfigError):
+        compile_mapping("random string that is not a config")
+    with pytest.raises(MappingConfigError):
+        compile_mapping("")
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out X: Missing(root);")  # unknown projector
+    with pytest.raises(MappingConfigError):
+        compile_mapping("def F(a) { x: a.b; }")  # no output
+
+
+def test_python_backend_goldens():
+    eng = compile_mapping(TEST_CONFIG)
+    assert eng.transform('{"bar":"test"}') == '{"Output":[{"foo":"test"}]}'
+    assert eng.transform('{"bar":2}') == '{"Output":[{"foo":2}]}'
+    with pytest.raises(ValueError):
+        eng.transform("{")
+
+
+def test_python_backend_e2e_corpus():
+    eng = compile_mapping(E2E_CONFIG)
+    # harness extracts `message` before mapping (SURVEY §5 e2e correction)
+    assert (
+        eng.transform('{"key1":"value1","key2":"value2"}')
+        == '{"testOutput":[{"key1":"value1","key2":"value2"}]}'
+    )
+
+
+# ------------------------------------------------------------ operator (Spark)
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_mapping_operator_goldens(spark, backend):
+    # MappingFnTest.java:105-150: 1 and 2 elements -> exact golden JSON
+    df = spark.createDataFrame(
+        [("a", '{"bar":"test"}'), ("b", '{"bar":2}')], "id string, data string"
+    )
+    res = apply_mapping(df, TEST_CONFIG, backend=backend, clock=CLOCK)
+    oks = {r["id"]: r["ok"] for r in ok_rows(res).collect()}
+    assert oks == {"a": '{"Output":[{"foo":"test"}]}', "b": '{"Output":[{"foo":2}]}'}
+    assert err_rows(res).count() == 0
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_mapping_operator_bad_input(spark, backend):
+    # MappingFnTest.java:77-103: '{' -> empty output, one ErrorEntry, sources=[id]
+    df = spark.createDataFrame([("msgid1", "{")], "id string, data string")
+    res = apply_mapping(df, TEST_CONFIG, backend=backend, clock=CLOCK)
+    assert ok_rows(res).count() == 0
+    errs = err_rows(res).select("err.*").collect()
+    assert len(errs) == 1
+    assert errs[0]["sources"] == ["msgid1"]
+    assert errs[0]["step"] == "mapping"
+    assert errs[0]["timestamp"] == CLOCK
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_mapping_missing_field_omitted(spark, backend):
+    # Whistle nil-propagation: missing path -> field omitted
+    df = spark.createDataFrame([("a", '{"other":1}')], "id string, data string")
+    res = apply_mapping(df, TEST_CONFIG, backend=backend, clock=CLOCK)
+    assert ok_rows(res).collect()[0]["ok"] == '{"Output":[{}]}'
+
+
+def test_backends_agree(spark):
+    rows = [
+        ("1", '{"bar":"x"}'),
+        ("2", '{"bar":2}'),
+        ("3", '{"bar":2.5}'),
+        ("4", '{"bar":true}'),
+        ("5", '{"other":"y"}'),
+        ("6", '{"bar":{"nested":[1,2,{"deep":"v"}]}}'),
+        ("7", '{"bar":"üñíçødé ✓"}'),
+        ("8", "not json"),
+        ("9", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, data string")
+    a = {
+        r["id"]: (r["ok"], r["err"] is not None)
+        for r in apply_mapping(df, TEST_CONFIG, backend="columns", clock=CLOCK).collect()
+    }
+    b = {
+        r["id"]: (r["ok"], r["err"] is not None)
+        for r in apply_mapping(df, TEST_CONFIG, backend="pandas", clock=CLOCK).collect()
+    }
+    # columns backend leaves ok null on error rows; compare ok-by-ok
+    for k in a:
+        assert a[k] == b[k], f"backend mismatch for id={k}: {a[k]} vs {b[k]}"
+
+
+def test_e2e_corpus_spark(spark):
+    # the three e2e fixtures, envelope-stripped by a select (the
+    # MapElements msg->Mappable projection analogue)
+    import json
+
+    from pyspark.sql import functions as F
+
+    fixtures = [
+        {"timestamp": 3, "message": {"key1": "value1", "key2": "value2"}},
+        {"timestamp": 1, "message": {"key3": "value3", "key4": "value4"}},
+        {"timestamp": 1, "message": {"key5": "value5", "key6": "value6"}},
+    ]
+    goldens = [
+        '{"testOutput":[{"key1":"value1","key2":"value2"}]}',
+        '{"testOutput":[{"key3":"value3","key4":"value4"}]}',
+        '{"testOutput":[{"key5":"value5","key6":"value6"}]}',
+    ]
+    df = spark.createDataFrame(
+        [(str(i), json.dumps(f, separators=(",", ":"))) for i, f in enumerate(fixtures)],
+        "id string, raw string",
+    )
+    # envelope strip: raw -> message JSON (kept as exact source bytes via variant)
+    stripped = df.select(
+        "id",
+        F.to_json(F.try_variant_get(F.try_parse_json("raw"), "$.message", "variant")).alias("data"),
+    )
+    res = apply_mapping(stripped, E2E_CONFIG, backend="columns", clock=CLOCK)
+    got = [r["ok"] for r in ok_rows(res).orderBy("id").collect()]
+    assert got == goldens
+
+
+def test_column_backend_is_codegen(spark):
+    # the hot path must be whole-stage codegen, no Python (SURVEY §4)
+    df = spark.createDataFrame([("a", '{"bar":1}')], "id string, data string")
+    res = apply_mapping(df, TEST_CONFIG, backend="columns", clock=CLOCK)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
