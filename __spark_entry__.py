@@ -1,38 +1,455 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+north-star / training-data op); ``oracle_sql()`` carries the equivalent
+DuckDB SQL over the same parquet views. Column names and value formats are
+aligned so the driver's order-insensitive value-hash matches:
+
+* floats are fixed-pointed (cents / ppm / quantized dot products) wherever an
+  aggregation could differ across engines;
+* JSON strings are produced byte-identically (Spark ``to_json`` vs DuckDB
+  ``to_json`` vs canonical python dumps — covered by tests);
+* cross-engine hashes use md5-prefix int64, identical in both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_data_harmonization_dataflow_spark.functions import text as T
+from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
+from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
+from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
+from healthcare_data_harmonization_dataflow_spark.operators.bundles import (
+    assemble_bundles,
+    assemble_bundles_grouped,
+    to_transaction_bundle,
+)
+from healthcare_data_harmonization_dataflow_spark.operators.joins import (
+    asof_join,
+    attach_tool_calls,
+    enrich_broadcast,
+    salted_count,
+)
+from healthcare_data_harmonization_dataflow_spark.operators.mapping_op import apply_mapping
+from healthcare_data_harmonization_dataflow_spark.operators.windows import (
+    session,
+    sliding,
+    tumbling,
+)
+from healthcare_data_harmonization_dataflow_spark.sources.tables import (
+    load_table,
+    read_time_range,
+)
+
+# the flagship mapping config (MappingFnTest.java:52-56 shape, over event props)
+CFG = "out Output: Proj(root);\ndef Proj(input) { foo: input.k; }"
+
+# cross-dialect transcripts derivation (runs verbatim on Spark AND DuckDB)
+TRANSCRIPTS_SQL = """
+SELECT
+  concat('conv-', user_id) AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+  CASE WHEN event_type IN ('click', 'signup') THEN 'user'
+       WHEN event_type IN ('view', 'purchase') THEN 'assistant'
+       ELSE 'tool' END AS role,
+  props AS text,
+  CASE WHEN event_type = 'error' THEN 'tool-err' END AS tool,
+  ts AS ts,
+  concat('e', event_id) AS id
+FROM events
+"""
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(TRANSCRIPTS_SQL)
+
+
+# --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the harmonization pipeline in batch — transcripts ->
+    per-record mapping (VARIANT codegen backend) -> ok branch ->
+    per-conversation bundle assembly."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = _transcripts(spark, sf_dir)
+    mapped = apply_mapping(t, CFG, id_col="id", data_col="text")
+    ok = ok_rows(mapped).withColumn("text", F.col("ok"))
+    return assemble_bundles(ok.select("conv_id", "turn_idx", "role", "text"))
+
+
+# --------------------------------------------------------------- queries
+def q_mapping_transform(spark, sf_dir):
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"), F.col("props").alias("data")
+    )
+    return ok_rows(apply_mapping(inp, CFG)).select("id", F.col("ok").alias("output"))
+
+
+def q_mapping_deadletter(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"), F.col("props").alias("data")
+    )
+    dc = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("id"), F.col("text").alias("data")
+    )
+    mapped = apply_mapping(ev.unionByName(dc), CFG)
+    return err_rows(mapped).select(
+        "id",
+        F.col("err.step").alias("step"),
+        F.col("err.error_message").alias("error_message"),
+        F.element_at(F.col("err.sources"), 1).alias("source"),
+    )
+
+
+def q_fhir_bundle_wrap(spark, sf_dir):
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"), F.col("props").alias("data")
+    )
+    ok = ok_rows(apply_mapping(inp, CFG))
+    return to_transaction_bundle(ok, resource_col="ok", url="Observation").select("id", "bundle")
+
+
+def q_bundle_assembly(spark, sf_dir):
+    return assemble_bundles(_transcripts(spark, sf_dir))
+
+
+def q_bundle_assembly_grouped(spark, sf_dir):
+    return assemble_bundles_grouped(_transcripts(spark, sf_dir))
+
+
+def q_tumbling_window(spark, sf_dir):
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ]
+    return tumbling(_events(spark, sf_dir), "ts", "1 hour", aggs=aggs)
+
+
+def q_sliding_window(spark, sf_dir):
+    return sliding(
+        _events(spark, sf_dir), "ts", "1 hour", "30 minutes",
+        aggs=[F.count(F.lit(1)).cast("long").alias("n")],
+    )
+
+
+def q_session_window(spark, sf_dir):
+    return session(
+        _events(spark, sf_dir), "ts", "30 minutes", ["user_id"],
+        aggs=[F.count(F.lit(1)).cast("long").alias("n")],
+    )
+
+
+def q_attach_tool_calls(spark, sf_dir):
+    t = attach_tool_calls(_transcripts(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "tool", "origin_turn_idx", "origin_text")
+
+
+def q_asof_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id"], right_tiebreak="click_id",
+    )
+    return j.select("event_id", "user_id", F.col("right_click_id").alias("click_event_id"))
+
+
+def q_enrich_broadcast(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = enrich_broadcast(ev, cust, ev.user_id == cust.c_custkey, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_enrich_multi_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = orders.join(
+        enrich_broadcast(cust, nation, cust.c_nationkey == nation.n_nationkey, "inner"),
+        orders.o_custkey == cust.c_custkey,
+        "inner",
+    )
+    return j.groupBy("n_name").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+def q_read_time_range(spark, sf_dir):
+    df = read_time_range(
+        spark, sf_dir, "events", "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_windowed_error_flush(spark, sf_dir):
+    # dead-letter chunking: 5s windows over the error stream
+    # (Hl7v2ToFhirStreamingRunner.java:168-181 analogue, event-time batch form)
+    dc = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("id"),
+        F.col("text").alias("data"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("doc_id")
+        ).alias("ts"),
+    )
+    errs = err_rows(apply_mapping(dc, CFG))
+    return tumbling(errs, "ts", "5 seconds", aggs=[F.count(F.lit(1)).cast("long").alias("n")])
+
+
+def q_salted_count(spark, sf_dir):
+    return salted_count(_transcripts(spark, sf_dir), "conv_id", salt_buckets=8)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_signature(spark, sf_dir):
+    return D.minhash_signature(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_text_quality(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", *T.quality_cols())
+
+
+def q_text_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "lang", T.langid_col())
+
+
+def q_text_tokens(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count_col().alias("n_tokens"),
+        T.bpe_ish_token_count_col().alias("n_bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", T.fingerprint_col())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mapping_transform": q_mapping_transform,
+        "mapping_deadletter": q_mapping_deadletter,
+        "fhir_bundle_wrap": q_fhir_bundle_wrap,
+        "bundle_assembly": q_bundle_assembly,
+        "bundle_assembly_grouped": q_bundle_assembly_grouped,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "attach_tool_calls": q_attach_tool_calls,
+        "asof_join": q_asof_join,
+        "enrich_broadcast": q_enrich_broadcast,
+        "enrich_multi_join": q_enrich_multi_join,
+        "read_time_range": q_read_time_range,
+        "windowed_error_flush": q_windowed_error_flush,
+        "salted_count": q_salted_count,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signature": q_dedup_minhash_signature,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_brute_topk": q_ann_brute_topk,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+_MAPPED = """concat('{"Output":[{"foo":', json_extract_string(props, '$.k'), '}]}')"""
+
+_ATTACH_WIN = (
+    "OVER (PARTITION BY conv_id ORDER BY turn_idx "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mapping_transform": f"""
+            SELECT concat('e', event_id) AS id, {_MAPPED} AS output FROM events
+        """,
+        "mapping_deadletter": """
+            SELECT concat('d', doc_id) AS id, 'mapping' AS step,
+                   concat('invalid input JSON: ', text) AS error_message,
+                   concat('d', doc_id) AS source
+            FROM documents
+        """,
+        "fhir_bundle_wrap": f"""
+            SELECT concat('e', event_id) AS id,
+                   concat('{{"resourceType":"Bundle","type":"transaction","entry":[{{"resource":',
+                          {_MAPPED},
+                          ',"request":{{"method":"POST","url":"Observation"}}}}]}}') AS bundle
+            FROM events
+        """,
+        "bundle_assembly": f"""
+            WITH t AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   to_json(list(struct_pack(turn_idx := turn_idx, role := role, text := text)
+                                ORDER BY turn_idx)) AS bundle
+            FROM t GROUP BY conv_id
+        """,
+        "bundle_assembly_grouped": f"""
+            WITH t AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   to_json(list(struct_pack(turn_idx := turn_idx, role := role, text := text)
+                                ORDER BY turn_idx)) AS bundle
+            FROM t GROUP BY conv_id
+        """,
+        "tumbling_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s FROM events),
+            starts AS (SELECT s AS win_start FROM b
+                       UNION ALL SELECT s - INTERVAL '30 minutes' FROM b)
+            SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM starts GROUP BY 1
+        """,
+        "session_window": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT min(ts) AS win_start, max(ts) + INTERVAL '30 minutes' AS win_end,
+                   user_id, CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY user_id, sid
+        """,
+        "attach_tool_calls": f"""
+            WITH t AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx, tool, origin_turn_idx, origin_text FROM (
+              SELECT conv_id, turn_idx, role, tool,
+                     last_value(CASE WHEN role = 'assistant' THEN turn_idx END IGNORE NULLS)
+                       {_ATTACH_WIN} AS origin_turn_idx,
+                     last_value(CASE WHEN role = 'assistant' THEN text END IGNORE NULLS)
+                       {_ATTACH_WIN} AS origin_text
+              FROM t
+            ) WHERE role = 'tool'
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT user_id AS k, ts, 0 AS side, event_id,
+                     CAST(NULL AS BIGINT) AS r, CAST(NULL AS BIGINT) AS tie
+              FROM events WHERE event_type = 'error'
+              UNION ALL
+              SELECT user_id, ts, 1, NULL, event_id, event_id
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT *, last_value(r IGNORE NULLS) OVER (
+                PARTITION BY k ORDER BY ts ASC, side DESC, tie ASC NULLS LAST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id
+              FROM u
+            )
+            SELECT event_id, k AS user_id, click_event_id FROM w WHERE side = 0
+        """,
+        "enrich_broadcast": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "enrich_multi_join": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "read_time_range": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY event_type
+        """,
+        "windowed_error_flush": """
+            WITH e AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+                              + doc_id * INTERVAL '1 second' AS ts FROM documents)
+            SELECT time_bucket(INTERVAL '5 seconds', ts) AS win_start,
+                   time_bucket(INTERVAL '5 seconds', ts) + INTERVAL '5 seconds' AS win_end,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2
+        """,
+        "salted_count": f"""
+            WITH t AS ({TRANSCRIPTS_SQL})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY conv_id
+        """,
+        "dedup_exact": D.exact_dedup_oracle_sql(),
+        "dedup_minhash_signature": D.minhash_signature_oracle_sql(),
+        "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_oracle_sql(),
+        "dedup_simhash": D.simhash_oracle_sql(),
+        "dedup_simhash_pairs": D.simhash_pairs_oracle_sql(),
+        "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),
+        "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
+        "text_quality": T.quality_oracle_sql(),
+        "text_langid": T.langid_oracle_sql(),
+        "text_tokens": f"""
+            SELECT doc_id,
+                   {T.token_count_oracle_expr()} AS n_tokens,
+                   CAST(len(list_filter(string_split_regex(
+                        regexp_replace(lower(text), '(\\d+|[^a-z0-9\\s]+)', ' \\1 ', 'g'),
+                        '\\s+'), w -> w != '')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_fingerprint": T.fingerprint_oracle_sql(),
+    }

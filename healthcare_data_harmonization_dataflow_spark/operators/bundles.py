@@ -1,0 +1,115 @@
+"""Per-conversation bundle assembly — the CreateFhirResourceBundle analogue.
+
+The reference wraps each mapped resource in a FHIR transaction bundle
+(DicomToFhirStreamingRunner.java:166-191). The transcript-native equivalent
+assembles all turns of a conversation, **reordered by turn_idx regardless of
+arrival order**, into one harmonized bundle JSON.
+
+Two implementations with identical output:
+
+* :func:`assemble_bundles` — pure Catalyst: groupBy + sort_array(collect_list)
+  + to_json. One shuffle; codegen everywhere; the ordering is explicit
+  (sort_array on the struct's leading turn_idx field), never shuffle order
+  (SURVEY §7.4 risk 2).
+* :func:`assemble_bundles_grouped` — applyInPandas (Arrow batches), the batch
+  twin of the streaming stateful assembly (streaming/assembly.py), kept for
+  parity testing between batch and stream paths.
+
+At 10^12 turns the shuffle is keyed by conv_id — hot conversations are
+handled by AQE skew splitting for the batch path and by salted pre-grouping
+for the streaming path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUNDLE_TYPE = "transaction"
+
+
+def turns_struct():
+    """Leading turn_idx makes sort_array order by it (then role/text as
+    deterministic tie-breaks)."""
+    return F.struct(
+        F.col("turn_idx").alias("turn_idx"),
+        F.col("role").alias("role"),
+        F.col("text").alias("text"),
+    )
+
+
+def assemble_bundles(transcripts: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """conv_id -> ordered bundle of turns as canonical JSON."""
+    return (
+        transcripts.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sort_array(F.collect_list(turns_struct())).alias("_turns"),
+        )
+        .select(
+            F.col(conv_col),
+            "n_turns",
+            F.to_json(F.col("_turns")).alias("bundle"),
+        )
+    )
+
+
+def assemble_bundles_grouped(transcripts: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """Same result via applyInPandas — exercises the Arrow grouped-map path
+    used by the streaming stateful assembly. Sorting is done inside the
+    group (deterministic), mirroring the state-handler logic."""
+    import json
+
+    schema = f"{conv_col} string, n_turns long, bundle string"
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx", "role", "text"], kind="mergesort")
+        turns = [
+            {"turn_idx": int(r.turn_idx), "role": r.role, "text": r.text}
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {
+                conv_col: [key[0]],
+                "n_turns": [len(turns)],
+                "bundle": [json.dumps(turns, ensure_ascii=False, separators=(",", ":"))],
+            }
+        )
+
+    return transcripts.select(conv_col, "turn_idx", "role", "text").groupBy(conv_col).applyInPandas(
+        assemble, schema
+    )
+
+
+def to_transaction_bundle(df: DataFrame, resource_col: str, url: str = "Bundle") -> DataFrame:
+    """Wrap a mapped resource JSON in a FHIR-style transaction envelope —
+    byte-parity with CreateFhirResourceBundle (DicomToFhirStreamingRunner.java:166-191):
+    {"resourceType":"Bundle","type":"transaction","entry":[{"resource":<r>,
+    "request":{"method":"POST","url":"<url>"}}]}.
+    """
+    resource_variant = F.try_parse_json(F.col(resource_col))
+    return df.withColumn(
+        "bundle",
+        F.to_json(
+            F.named_struct(
+                F.lit("resourceType"),
+                F.lit("Bundle"),
+                F.lit("type"),
+                F.lit(BUNDLE_TYPE),
+                F.lit("entry"),
+                F.array(
+                    F.named_struct(
+                        F.lit("resource"),
+                        resource_variant,
+                        F.lit("request"),
+                        F.named_struct(
+                            F.lit("method"), F.lit("POST"), F.lit("url"), F.lit(url)
+                        ),
+                    )
+                ),
+            )
+        ),
+    )
