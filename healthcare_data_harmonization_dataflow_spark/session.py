@@ -25,6 +25,15 @@ def build_session(
 ) -> SparkSession:
     cores = os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+
+    # make the package importable in executor Python workers regardless of the
+    # driver's cwd (the local-mode analogue of `spark-submit --py-files`)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = 2 * (cores if n in ("", "*") else int(n))

@@ -116,6 +116,43 @@ def write_transcripts(
     return path
 
 
+def append_flush_sentinel(
+    spark: SparkSession, path: str, ts: str = "2030-01-01 00:00:00"
+) -> None:
+    """Append one far-future row AFTER the main data (strictly later file
+    mtime, so the FileStreamSource consumes it in the LAST micro-batch).
+
+    Bounded-replay device only: it advances the watermark past every real
+    session's event-time timeout so stateful sessions flush at end-of-input.
+    A production stream never needs it — fresh events advance the watermark
+    continuously. If the sentinel were consumed early, every later row would
+    be dropped as late, which is why mtime ordering matters.
+    """
+    import os
+    import time
+
+    sent = spark.createDataFrame(
+        [("conv-sentinel", 0, "user", "{}", None, ts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    sent.coalesce(1).write.mode("append").parquet(path)
+    # bump the just-written sentinel file's mtime well past the main data's
+    future = time.time() + 3600
+    newest = sorted(
+        (os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    if newest:
+        os.utime(newest[-1], (future, future))
+
+
 # ---------------------------------------------------------------------------
 # events -> transcripts derivation (shared with the DuckDB oracle).
 #

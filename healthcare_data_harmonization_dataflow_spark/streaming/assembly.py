@@ -1,0 +1,190 @@
+"""Stateful conversation assembly — session windows + turn reordering.
+
+The north-star's core streaming operator (SURVEY §2.5 "ABSENT in the
+reference" row): buffer each conversation's turns in keyed state, reorder by
+``turn_idx`` regardless of arrival order, and emit one harmonized bundle when
+the session times out (no turn for ``gap``, measured in event time against
+the watermark).
+
+Implementation: ``applyInPandasWithState`` keyed by ``conv_id`` —
+* state = (accumulated turns array, max event-time seen);
+* every micro-batch appends the new turns (Arrow-batched, no per-row
+  Python over the wire) and re-arms an event-time timeout at
+  ``max_ts + gap``;
+* on timeout the state is drained: turns sorted by (turn_idx, role, text) —
+  NEVER by arrival/shuffle order (SURVEY §7.4 risk 2) — and one bundle row
+  is emitted, byte-compatible with the batch ``assemble_bundles`` operator.
+
+Skew: the shuffle into the stateful operator is keyed by conv_id only (state
+keys must stay unsalted — BASELINE north_rule). A hot conversation
+serializes one task but state updates are O(new turns); the pre-state
+exchange can be salted+pre-combined upstream if profiling demands it.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+BUNDLE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("bundle", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+    ]
+)
+
+_TURN = StructType(
+    [
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("ts_us", LongType()),  # event time, microseconds
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("turns", ArrayType(_TURN)), StructField("max_ts_us", LongType())]
+)
+
+
+def _render_bundle(turns: list) -> str:
+    turns = sorted(turns, key=lambda t: (t[0], t[1], t[2]))
+    return json.dumps(
+        [{"turn_idx": int(t[0]), "role": t[1], "text": t[2]} for t in turns],
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+
+
+def _split_sessions(turns: list, gap_us: int) -> list[list]:
+    """Event-time session split: sort by (ts, turn_idx) and break where the
+    inter-turn gap reaches ``gap`` — the same semantics as
+    ``F.session_window`` (strict: diff >= gap starts a new session)."""
+    turns = sorted(turns, key=lambda t: (t[3], t[0]))
+    sessions, cur = [], [turns[0]]
+    for t in turns[1:]:
+        if t[3] - cur[-1][3] >= gap_us:
+            sessions.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    sessions.append(cur)
+    return sessions
+
+
+def _bundle_row(key, session: list, gap_seconds: int) -> dict:
+    ts = [t[3] for t in session]
+    return {
+        "conv_id": key[0],
+        "n_turns": len(session),
+        "bundle": _render_bundle(session),
+        "session_start": pd.Timestamp(min(ts), unit="us"),
+        "session_end": pd.Timestamp(max(ts) + gap_seconds * 1_000_000, unit="us"),
+    }
+
+
+def _assemble(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    gap_us = gap_seconds * 1_000_000
+
+    if state.hasTimedOut:
+        (turns, _) = state.get
+        rows = [_bundle_row(key, s, gap_seconds) for s in _split_sessions(list(turns), gap_us)]
+        state.remove()
+        yield pd.DataFrame(rows)
+        return
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    turns: list[Any] = []
+    if state.exists:
+        (prev_turns, _) = state.get
+        turns = list(prev_turns)
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            ts_us = int(r.ts.value // 1000)  # pandas ns -> us
+            # Spark does NOT pre-filter late input for this operator (verified
+            # against 4.1 behavior); enforce the reference's
+            # allowedLateness=ZERO ourselves: drop rows behind the watermark.
+            if ts_us < wm_us:
+                continue
+            turns.append((int(r.turn_idx), r.role, r.text, ts_us))
+    if not turns:
+        if state.exists:
+            state.remove()
+        return
+
+    # incremental emission: a session whose end+gap is below the watermark can
+    # never legally grow (later rows would be dropped as late), so emit it now
+    # and shrink state — this is what bounds state size on an endless stream.
+    sessions = _split_sessions(turns, gap_us)
+    complete = [s for s in sessions if s[-1][3] + gap_us <= wm_us]
+    open_sessions = [s for s in sessions if s[-1][3] + gap_us > wm_us]
+
+    if open_sessions:
+        remaining = [t for s in open_sessions for t in s]
+        max_ts_us = max(t[3] for t in remaining)
+        state.update((remaining, max_ts_us))
+        # event-time timeout: final flush when the watermark passes last+gap
+        # (must be strictly later than the current watermark in ms)
+        state.setTimeoutTimestamp(
+            max(max_ts_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+    elif state.exists:
+        state.remove()
+
+    if complete:
+        yield pd.DataFrame([_bundle_row(key, s, gap_seconds) for s in complete])
+
+
+def assemble_sessions_stateful(
+    transcripts: DataFrame,
+    gap: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming session assembly. ``transcripts`` must contain
+    conv_id/turn_idx/role/text/ts. Watermark on ts bounds state size and
+    drives the event-time session timeout."""
+    gap_seconds = _parse_seconds(gap)
+
+    def fn(key, pdfs, state):
+        return _assemble(key, pdfs, state, gap_seconds)
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=BUNDLE_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_seconds(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}
+    return int(n) * mult[unit]

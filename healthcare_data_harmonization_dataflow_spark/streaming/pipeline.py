@@ -1,0 +1,121 @@
+"""The end-to-end streaming harmonization pipeline.
+
+The Spark re-expression of ``Hl7v2ToFhirStreamingRunner.main`` (SURVEY §3
+EP1), transcript-native:
+
+    readStream(transcripts)                       # PubsubIO + HL7v2IO.getAll
+      -> per-record mapping (VARIANT codegen)     # ParDo(MappingFn)
+      -> ok / err fan-out in one pass             # withOutputTags
+      -> stateful session assembly (ok branch)    # north-star addition
+      -> exactly-once sinks: bundles, dead-letter # FhirIO.executeBundles +
+         (+ metrics)                              #   windowed TextIO errors
+
+One source, one stateful query; the fan-out happens inside a single
+``foreachBatch`` so bundles and dead-letter commit under the same batchId
+(multi-sink atomicity, SURVEY §7.4 risk 3). The dead-letter flush cadence is
+the trigger interval — default 5 s, the reference's error window size
+(Hl7v2ToFhirStreamingRunner.java:146).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model.errors import err_rows, ok_rows
+from ..operators.mapping_op import apply_mapping
+from .assembly import BUNDLE_SCHEMA, assemble_sessions_stateful
+from .metrics import observe_mapping
+from .sink import ExactlyOnceParquetSink
+
+
+@dataclass
+class HarmonizationPipeline:
+    """Config + wiring for the streaming pipeline. ``run_*`` methods return
+    StreamingQuery handles; callers own trigger/termination policy."""
+
+    mapping_config: str
+    out_dir: str
+    session_gap: str = "5 minutes"
+    watermark_delay: str = "10 minutes"
+    trigger: dict = field(default_factory=lambda: {"processingTime": "5 seconds"})
+    error_shards: int = 10  # --errorLogShardNum default, Hl7v2ToFhirStreamingRunner.java:133-137
+    max_files_per_trigger: int | None = None  # None = let availableNow take everything
+
+    def __post_init__(self):
+        self.bundles_sink = ExactlyOnceParquetSink(
+            os.path.join(self.out_dir, "bundles"), "bundles"
+        )
+        self.deadletter_sink = ExactlyOnceParquetSink(
+            os.path.join(self.out_dir, "deadletter"), "deadletter", num_shards=self.error_shards
+        )
+
+    # ------------------------------------------------------------ source
+    def read_stream(self, spark: SparkSession, input_path: str) -> DataFrame:
+        """Streaming source over a transcript table directory (parquet file
+        source locally; spark.readStream.format('iceberg') on a cluster —
+        same downstream plan either way)."""
+        reader = spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+        if self.max_files_per_trigger:
+            # split pacing, the ListHL7v2Messages restriction-splitting analogue
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(input_path)
+
+    # ------------------------------------------------------- mapped stream
+    def mapped(self, transcripts: DataFrame) -> DataFrame:
+        m = apply_mapping(
+            transcripts,
+            self.mapping_config,
+            id_col="conv_id",
+            data_col="text",
+        )
+        return observe_mapping(m)
+
+    # ---------------------------------------------------------- queries
+    def run_harmonization(self, spark: SparkSession, input_path: str, checkpoint: str):
+        """Main query: map -> assemble sessions -> exactly-once bundle sink.
+        The mapping runs before the stateful op, so only valid turns enter
+        state; the session bundle carries mapped output as its text."""
+        stream = self.read_stream(spark, input_path)
+        m = self.mapped(stream)
+        ok = ok_rows(m).select(
+            "conv_id", "turn_idx", "role", F.col("ok").alias("text"), "ts"
+        )
+        bundles = assemble_sessions_stateful(
+            ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+        )
+        return (
+            bundles.writeStream.foreachBatch(self.bundles_sink.foreach_batch())
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**self.trigger)
+            .queryName("harmonization")
+            .start()
+        )
+
+    def run_deadletter(self, spark: SparkSession, input_path: str, checkpoint: str):
+        """Dead-letter query: same source, err branch only, flushed every
+        trigger into the dead-letter table (5 s window analogue)."""
+        stream = self.read_stream(spark, input_path)
+        m = self.mapped(stream)
+        errs = err_rows(m).select("conv_id", "turn_idx", "ts", F.col("err.*"))
+        return (
+            errs.writeStream.foreachBatch(self.deadletter_sink.foreach_batch())
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(**self.trigger)
+            .queryName("deadletter")
+            .start()
+        )
+
+    # ---------------------------------------------------------- readers
+    def bundles(self, spark: SparkSession) -> DataFrame:
+        return self.bundles_sink.read_committed(spark)
+
+    def deadletter(self, spark: SparkSession) -> DataFrame:
+        return self.deadletter_sink.read_committed(spark)

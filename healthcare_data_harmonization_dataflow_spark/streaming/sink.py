@@ -1,0 +1,129 @@
+"""Exactly-once idempotent sink with per-partition lineage.
+
+The reference achieves at-least-once delivery with HTTP retry x10
+(HttpHealthcareApiClient.java:678-694); exactly-once is delegated to FHIR
+server idempotency. This engine owns it instead: a batchId-keyed commit
+protocol over a parquet table layout (the Iceberg-snapshot pattern,
+self-contained so tests run without an Iceberg catalog; on a cluster the
+same ``foreachBatch`` body would be a single Iceberg MERGE/append which
+carries the batchId in snapshot properties).
+
+Protocol per micro-batch:
+1. if ``_commits/<batchId>.json`` exists -> **skip** (replay after restart);
+2. write batch data to ``data/batch=<batchId>/`` (overwrite: a partial
+   write from a crashed attempt is harmlessly clobbered);
+3. write per-partition lineage + row count into the commit file, atomically
+   (tmp + rename) and LAST — readers only trust committed batches.
+
+``read_committed`` reconstructs the table from committed batches only, so a
+crash between (2) and (3) loses nothing and duplicates nothing: the rerun
+batch rewrites the same directory and then commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, base_dir: str, name: str = "sink", num_shards: int | None = None):
+        self.base_dir = base_dir
+        self.name = name
+        self.num_shards = num_shards  # reference's --errorLogShardNum analogue
+        os.makedirs(self._commits_dir, exist_ok=True)
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.base_dir, "_commits")
+
+    def _commit_path(self, batch_id: int) -> str:
+        return os.path.join(self._commits_dir, f"{batch_id}.json")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_path(batch_id))
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body. Idempotent under Structured Streaming's replay:
+        the batchId is stable across restarts for the same epoch."""
+        if self.is_committed(batch_id):
+            return  # replayed epoch — exactly-once guard
+        out = df
+        if self.num_shards:
+            out = out.coalesce(self.num_shards)
+        path = os.path.join(self.base_dir, "data", f"batch={batch_id}")
+        out = out.cache()
+        try:
+            out.write.mode("overwrite").parquet(path)
+            # per-partition lineage (one extra cheap agg on the cached batch)
+            lineage = [
+                {"partition_id": r["pid"], "rows": r["rows"]}
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ]
+        finally:
+            out.unpersist()
+        commit = {
+            "batch_id": batch_id,
+            "rows": sum(p["rows"] for p in lineage),
+            "partitions": sorted(lineage, key=lambda p: p["partition_id"]),
+            "committed_at": time.time(),
+            "sink": self.name,
+        }
+        tmp = self._commit_path(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+        os.replace(tmp, self._commit_path(batch_id))  # atomic: commit point
+
+    def foreach_batch(self):
+        return lambda df, batch_id: self.write_batch(df, batch_id)
+
+    def committed_batches(self) -> list[int]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self._commits_dir) if f.endswith(".json")
+        )
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for b in self.committed_batches():
+            with open(self._commit_path(b)) as f:
+                out.append(json.load(f))
+        return out
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        batches = self.committed_batches()
+        paths = [
+            os.path.join(self.base_dir, "data", f"batch={b}")
+            for b in batches
+            if os.path.isdir(os.path.join(self.base_dir, "data", f"batch={b}"))
+        ]
+        if not paths:
+            return spark.createDataFrame([], "conv_id string")  # empty placeholder
+        return spark.read.parquet(*paths)
+
+
+class FanOutSink:
+    """One foreachBatch fanning out to multiple exactly-once sinks under a
+    shared batchId guard — the multi-sink atomicity strategy of SURVEY §7.4
+    risk 3 (ok bundles + dead-letter + metrics from a single pass)."""
+
+    def __init__(self, routes: list[tuple[ExactlyOnceParquetSink, "callable"]]):
+        self.routes = routes
+
+    def foreach_batch(self):
+        def fn(df: DataFrame, batch_id: int):
+            df = df.cache()
+            try:
+                for sink, selector in self.routes:
+                    sink.write_batch(selector(df), batch_id)
+            finally:
+                df.unpersist()
+
+        return fn

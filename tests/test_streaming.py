@@ -1,0 +1,270 @@
+"""Streaming pipeline tests (SURVEY §5 port, tiers 2-4).
+
+Covers: stateful session assembly under shuffled arrival, dead-letter
+branch in streaming, exactly-once replay idempotence, and the
+stream-stream tool-call join. Bounded runs use availableNow + a flush
+sentinel (a far-future row that pushes the watermark past every real
+session's timeout — the bounded-replay analogue of an endless stream).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_harmonization_dataflow_spark.operators.bundles import assemble_bundles
+from healthcare_data_harmonization_dataflow_spark.sources.transcripts import (
+    append_flush_sentinel,
+    generate_transcripts,
+)
+from healthcare_data_harmonization_dataflow_spark.streaming.join import (
+    attach_tool_calls_stream,
+    pick_origin,
+)
+from healthcare_data_harmonization_dataflow_spark.streaming.pipeline import (
+    HarmonizationPipeline,
+)
+from healthcare_data_harmonization_dataflow_spark.streaming.sink import (
+    ExactlyOnceParquetSink,
+)
+
+CFG = "out Output: Proj(root);\ndef Proj(input) { foo: input.bar; }"
+
+
+def _write_input(spark, path, total_turns=400, with_sentinel=True, **kwargs):
+    kwargs.setdefault("late_one_in", 10**9)  # no very-late rows in goldens
+    df = generate_transcripts(spark, total_turns=total_turns, num_partitions=8, **kwargs)
+    df.write.mode("overwrite").parquet(path)
+    if with_sentinel:
+        # far-future row appended LAST (later mtime): flushes sessions at EOF
+        append_flush_sentinel(spark, path)
+    return spark.read.parquet(path).filter(F.col("conv_id") != "conv-sentinel")
+
+
+def _run_pipeline(spark, tmp, input_path, gap="2 minutes", delay="36 hours"):
+    # generator arrival order is globally shuffled (disorder up to a day),
+    # so the correctness watermark must cover the full disorder span; the
+    # late-data test below uses a tight watermark instead
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        session_gap=gap,
+        watermark_delay=delay,
+        trigger={"availableNow": True},
+        max_files_per_trigger=4,  # force several micro-batches: exercises
+        # watermark progression + mid-stream state, not one giant batch
+    )
+    q1 = pipe.run_harmonization(spark, input_path, os.path.join(tmp, "ckpt_h"))
+    q2 = pipe.run_deadletter(spark, input_path, os.path.join(tmp, "ckpt_d"))
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    return pipe
+
+
+def test_streaming_harmonization_end_to_end(spark, tmp_path):
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    src = _write_input(spark, inp)
+    pipe = _run_pipeline(spark, tmp, inp)
+
+    bundles = pipe.bundles(spark).filter(F.col("conv_id") != "conv-sentinel")
+    dead = pipe.deadletter(spark)
+
+    # --- dead-letter: exactly the malformed rows, step=mapping
+    n_bad = src.filter((F.col("text") == "{") & (F.col("conv_id") != "conv-sentinel")).count()
+    assert dead.count() == n_bad
+    assert set(r["step"] for r in dead.select("step").distinct().collect()) == {"mapping"}
+
+    # --- bundles: one session per conversation (turns 10s apart << 2min gap),
+    # byte-identical to the batch assembly of the mapped ok rows
+    from healthcare_data_harmonization_dataflow_spark.operators.mapping_op import apply_mapping
+    from healthcare_data_harmonization_dataflow_spark.model.errors import ok_rows
+
+    batch_ok = ok_rows(
+        apply_mapping(src.filter(F.col("conv_id") != "conv-sentinel"), CFG,
+                      id_col="conv_id", data_col="text")
+    ).select("conv_id", "turn_idx", "role", F.col("ok").alias("text"))
+    expected = {
+        r["conv_id"]: (r["n_turns"], r["bundle"]) for r in assemble_bundles(batch_ok).collect()
+    }
+    got = {r["conv_id"]: (r["n_turns"], r["bundle"]) for r in bundles.collect()}
+    assert got == expected
+
+    # --- reordering invariant: every bundle sorted by turn_idx despite
+    # shuffled arrival order
+    for _, (_, bundle) in got.items():
+        idxs = [t["turn_idx"] for t in json.loads(bundle)]
+        assert idxs == sorted(idxs)
+
+
+def test_streaming_exactly_once_replay(spark, tmp_path):
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    _write_input(spark, inp, total_turns=200)
+    pipe = _run_pipeline(spark, tmp, inp)
+    first = pipe.bundles(spark).count()
+    first_batches = pipe.bundles_sink.committed_batches()
+    assert first > 0
+
+    # restart from the SAME checkpoint: no new data -> no new commits, no dupes
+    pipe2 = _run_pipeline(spark, tmp, inp)
+    assert pipe2.bundles(spark).count() == first
+    assert pipe2.bundles_sink.committed_batches() == first_batches
+
+    # simulate a replayed epoch (driver crash after write, before progress):
+    # rewriting an already-committed batchId must be a no-op
+    some_batch = first_batches[-1]
+    sink = pipe.bundles_sink
+    dummy = spark.createDataFrame([("x", 1, "b", None, None)], pipe_schema())
+    sink.write_batch(dummy, some_batch)
+    assert pipe.bundles(spark).count() == first
+
+
+def pipe_schema():
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly import BUNDLE_SCHEMA
+
+    return BUNDLE_SCHEMA
+
+
+def test_sink_lineage(spark, tmp_path):
+    sink = ExactlyOnceParquetSink(str(tmp_path / "s"), "t")
+    df = spark.range(100).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df.repartition(4), 0)
+    lin = sink.lineage()
+    assert len(lin) == 1 and lin[0]["rows"] == 100
+    assert sum(p["rows"] for p in lin[0]["partitions"]) == 100
+    assert len(lin[0]["partitions"]) == 4
+
+
+def test_session_gap_splits_conversation(spark, tmp_path):
+    """A conversation dormant for longer than the gap yields two bundles,
+    split at the event-time gap (session_window semantics)."""
+    tmp = str(tmp_path)
+    rows = [
+        ("A", 0, "user", '{"bar":1}', None, "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", '{"bar":2}', None, "2024-01-01 00:00:30"),
+        # > 2 min dormancy -> new session
+        ("A", 2, "user", '{"bar":3}', None, "2024-01-01 00:10:00"),
+        ("A", 3, "assistant", '{"bar":4}', None, "2024-01-01 00:10:30"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select("conv_id", "turn_idx", "role", "text", "tool",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    inp = os.path.join(tmp, "in")
+    df.write.mode("overwrite").parquet(inp)
+    append_flush_sentinel(spark, inp)
+
+    pipe = _run_pipeline(spark, tmp, inp, gap="2 minutes")
+    bundles = pipe.bundles(spark).filter(F.col("conv_id") == "A").orderBy("session_start")
+    got = [(r["n_turns"], json.loads(r["bundle"])) for r in bundles.collect()]
+    assert len(got) == 2
+    assert [t["turn_idx"] for t in got[0][1]] == [0, 1]
+    assert [t["turn_idx"] for t in got[1][1]] == [2, 3]
+
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def _append_one_file(df, inp, mtime):
+    before = set(os.listdir(inp)) if os.path.isdir(inp) else set()
+    df.coalesce(1).write.mode("append").parquet(inp)
+    new = [f for f in os.listdir(inp) if f.endswith(".parquet") and f not in before]
+    for f in new:
+        os.utime(os.path.join(inp, f), (mtime, mtime))
+
+
+def test_late_rows_dropped(spark, tmp_path):
+    """A row older than the watermark never reaches session state — the
+    reference's allowedLateness=ZERO semantics
+    (Hl7v2ToFhirStreamingRunner.java:168-175). One file per micro-batch so
+    the watermark demonstrably advances between arrivals."""
+    import time as _t
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp)
+    t0 = _t.time()
+    early = [("A", i, "user", '{"bar":%d}' % i, None, f"2024-01-01 00:00:{i:02d}") for i in range(3)]
+    _append_one_file(_turns_df(spark, early), inp, t0)
+    _append_one_file(
+        _turns_df(spark, [("conv-sentinel", 0, "user", "{}", None, "2024-01-02 00:00:00")]),
+        inp, t0 + 100,
+    )  # advances watermark to 2024-01-01 23:59
+    _append_one_file(
+        _turns_df(spark, [("A", 9, "user", '{"bar":9}', None, "2024-01-01 00:00:05")]),
+        inp, t0 + 200,
+    )  # LATE: far below watermark
+    _append_one_file(
+        _turns_df(spark, [("conv-sentinel", 1, "user", "{}", None, "2024-01-03 00:00:00")]),
+        inp, t0 + 300,
+    )  # final flush
+
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        session_gap="2 minutes",
+        watermark_delay="1 minutes",
+        trigger={"availableNow": True},
+        max_files_per_trigger=1,
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ckpt_h"))
+    q.awaitTermination(300)
+
+    bundles = pipe.bundles(spark).filter(F.col("conv_id") == "A").collect()
+    assert len(bundles) == 1, [r["bundle"] for r in bundles]
+    idxs = [t["turn_idx"] for t in json.loads(bundles[0]["bundle"])]
+    assert idxs == [0, 1, 2]  # late turn 9 dropped, never resurrects a session
+
+
+def test_stream_stream_tool_join(spark, tmp_path):
+    tmp = str(tmp_path)
+    rows = [
+        # conv A: assistant idx1 @t10, tool idx2 @t20 -> attaches to idx1
+        ("A", 0, "user", "u", None, 0),
+        ("A", 1, "assistant", "a1", None, 10),
+        ("A", 2, "tool", "t", "tool-x", 20),
+        # conv A: later assistant idx3 @t30, tool idx4 @t40 -> attaches to idx3
+        ("A", 3, "assistant", "a2", None, 30),
+        ("A", 4, "tool", "t", "tool-y", 40),
+        # conv B: tool with no prior assistant in range -> dropped (inner join)
+        ("B", 1, "tool", "t", "tool-z", 50),
+        # sentinel to flush watermarks
+        ("S", 0, "user", "u", None, 10**6),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, x, tl, f"2024-01-01 00:{s//60:02d}:{s%60:02d}" if s < 3600 else "2024-02-01 00:00:00")
+         for (c, i, r, x, tl, s) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_s string",
+    ).select("conv_id", "turn_idx", "role", "text", "tool", F.col("ts_s").cast("timestamp").alias("ts"))
+    inp = os.path.join(tmp, "in")
+    df.write.mode("overwrite").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        ).parquet(inp)
+    )
+    candidates = attach_tool_calls_stream(stream, watermark_delay="30 seconds", lookback="1 minutes")
+
+    out = []
+
+    def collect_batch(bdf, bid):
+        out.extend(pick_origin(bdf).collect())
+
+    q = (
+        candidates.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r["conv_id"], r["turn_idx"]): r["origin_turn_idx"] for r in out}
+    assert got == {("A", 2): 1, ("A", 4): 3}
