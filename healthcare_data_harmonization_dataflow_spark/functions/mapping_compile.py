@@ -65,7 +65,12 @@ class CompiledMapping:
         subset (caller falls back to the pandas backend).
         """
         data_col = F.col(data_col) if isinstance(data_col, str) else data_col
-        root = F.try_parse_json(data_col)
+        return self.output_column_from_variant(F.try_parse_json(data_col))
+
+    def output_column_from_variant(self, root: Column) -> Column:
+        """Same, over an already-parsed VARIANT root — callers that also need
+        the parse result for error detection parse ONCE and share it (JSON
+        parsing is the dominant per-row cost; see operators/mapping_op.py)."""
         targets: dict[str, list[Column]] = {}
         for tgt, expr in self.config.outs:
             targets.setdefault(tgt, []).append(_render(_compile_expr(self.config, expr, {"root": root})))

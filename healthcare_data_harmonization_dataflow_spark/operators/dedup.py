@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # MinHash parameters (shared with the oracle SQL generators)
 MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime
@@ -77,18 +78,25 @@ def exact_dedup_oracle_sql() -> str:
 
 # ------------------------------------------------------------------ minhash
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature, computed per-row (no token shuffle)."""
+    """Per-doc MinHash signature, computed per-row (no token shuffle).
+
+    Token hashes (md5 -> int64) are materialized ONCE into an array column;
+    the K permutations are then cheap integer transforms over it — K times
+    less hashing than recomputing md5 per hash function."""
     wh = _spark_wordhash("w")
+    with_hashes = docs.select(
+        F.col(id_col),
+        F.expr(f"transform({_SPARK_WORDS}, w -> {wh} % {MINHASH_P})").alias("_hs"),
+    )
     cols = [F.col(id_col)]
     for i in range(MINHASH_K):
         a, b = _RNG_A[i], _RNG_B[i]
         cols.append(
-            F.expr(
-                f"array_min(transform({_SPARK_WORDS}, "
-                f"w -> ({a}L * ({wh} % {MINHASH_P}) + {b}L) % {MINHASH_P}))"
-            ).alias(f"mh{i}")
+            F.expr(f"array_min(transform(_hs, h -> ({a}L * h + {b}L) % {MINHASH_P}))").alias(
+                f"mh{i}"
+            )
         )
-    return docs.select(*cols)
+    return with_hashes.select(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -244,37 +252,53 @@ def simhash_pairs_oracle_sql() -> str:
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs over distinct-token sets.
+    """Exact Jaccard-similar pairs over distinct-token sets, with prefix
+    filtering (PPJoin-style, exact):
 
-    Inverted-index join: explode (doc, token), self-join on token, count
-    common tokens, then |A ∪ B| = |A| + |B| − common. The token join is the
-    scalable exact baseline (prefix filtering would prune further); MinHash
-    above is the sublinear approximation.
+    A pair at Jaccard >= t must share a token among each doc's first
+    ``floor((1-t)*|d|) + 1`` tokens when tokens are globally ordered by
+    ascending document frequency. So only those prefix tokens enter the
+    inverted-index self-join — rare tokens first, which is what collapses
+    the candidate count on skewed corpora — and candidates are verified
+    exactly with one array_intersect per DISTINCT pair (no per-token
+    multiplicity ever reaches a groupBy).
     """
-    toks = docs.select(F.col(id_col), F.explode(F.expr(_SPARK_WORDS)).alias("tok"))
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    common = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws"))
+    toks = wordsets.select(id_col, F.size("ws").alias("sz"), F.explode("ws").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
+    prefix = (
+        toks.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
+        .select(id_col, "tok")
     )
-    sz1 = sizes.select(F.col(id_col).alias("doc1"), F.col("sz").alias("sz1"))
-    sz2 = sizes.select(F.col(id_col).alias("doc2"), F.col("sz").alias("sz2"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .distinct()
+    )
+    ws1 = wordsets.select(F.col(id_col).alias("doc1"), F.col("ws").alias("ws1"))
+    ws2 = wordsets.select(F.col(id_col).alias("doc2"), F.col("ws").alias("ws2"))
     # fixed-point ppm: one IEEE-754 division + floor is bit-identical across
     # engines (unlike round-to-decimals, whose algorithms differ)
-    jac = (
-        common.join(sz1, "doc1")
-        .join(sz2, "doc2")
+    verified = (
+        cand.join(ws1, "doc1")
+        .join(ws2, "doc2")
         .withColumn(
             "jaccard_ppm",
-            F.floor(F.col("common") * 1000000.0 / (F.col("sz1") + F.col("sz2") - F.col("common"))).cast(
-                "long"
-            ),
+            F.floor(
+                F.size(F.array_intersect("ws1", "ws2"))
+                * 1000000.0
+                / F.size(F.array_union("ws1", "ws2"))
+            ).cast("long"),
         )
     )
     threshold_ppm = int(threshold * 1_000_000)
-    return jac.filter(F.col("jaccard_ppm") >= threshold_ppm).select("doc1", "doc2", "jaccard_ppm")
+    return verified.filter(F.col("jaccard_ppm") >= threshold_ppm).select(
+        "doc1", "doc2", "jaccard_ppm"
+    )
 
 
 def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:

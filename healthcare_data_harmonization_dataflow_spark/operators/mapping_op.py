@@ -64,18 +64,36 @@ def apply_mapping(
         backend = "columns" if mapping.supports_columns() else "pandas"
 
     if backend == "columns":
-        parsed_ok = F.try_parse_json(F.col(data_col)).isNotNull()
-        ok = F.when(parsed_ok, mapping.output_column(F.col(data_col)))
-        err = F.when(
-            ~parsed_ok | F.col(data_col).isNull(),
-            error_entry(
-                step=step,
-                message=F.concat(F.lit("invalid input JSON: "), F.coalesce(F.col(data_col), F.lit("<null>"))),
-                sources=F.array(F.col(id_col)),
-                clock=clock,
-            ),
+        # parse ONCE into a materialized variant column; ok/err both read it.
+        # (Without this, the ok-condition, ok-output and err-condition each
+        # re-parsed the JSON — 3x the dominant per-row cost.)
+        parsed = F.try_parse_json(F.col(data_col))
+        out = (
+            df.withColumn("_parsed", parsed)
+            .withColumn(
+                "ok",
+                F.when(
+                    F.col("_parsed").isNotNull(),
+                    mapping.output_column_from_variant(F.col("_parsed")),
+                ),
+            )
+            .withColumn(
+                "err",
+                F.when(
+                    F.col("_parsed").isNull() | F.col(data_col).isNull(),
+                    error_entry(
+                        step=step,
+                        message=F.concat(
+                            F.lit("invalid input JSON: "),
+                            F.coalesce(F.col(data_col), F.lit("<null>")),
+                        ),
+                        sources=F.array(F.col(id_col)),
+                        clock=clock,
+                    ),
+                ),
+            )
         )
-        return df.withColumn("ok", ok).withColumn("err", err)
+        return out.drop("_parsed")
 
     if backend != "pandas":
         raise ValueError(f"unknown backend {backend!r}")

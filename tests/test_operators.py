@@ -1,0 +1,135 @@
+"""Operator unit tests: plan-shape guardrails, multimodal plumbing,
+dedup/similarity invariants, as-of join edge cases."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
+from healthcare_data_harmonization_dataflow_spark.operators.joins import (
+    asof_join,
+    enrich_broadcast,
+    salted_count,
+)
+from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
+    extract_features,
+    synthetic_media,
+)
+from healthcare_data_harmonization_dataflow_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_python,
+    assert_pushed_filters,
+    assert_read_schema_only,
+)
+from healthcare_data_harmonization_dataflow_spark.sources.tables import (
+    load_table,
+    read_time_range,
+)
+
+
+# ------------------------------------------------------------- plan shapes
+def test_time_range_scan_pushes_filters(spark, sf_dir):
+    df = read_time_range(spark, sf_dir, "events", "ts", "2024-01-10", "2024-01-20").select(
+        "event_id", "ts"
+    )
+    assert_pushed_filters(df, "ts")
+    assert_read_schema_only(df, {"event_id", "ts"})
+    assert_no_python(df)
+
+
+def test_enrichment_broadcasts_small_dim(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    df = enrich_broadcast(ev, cust, ev.user_id == cust.c_custkey, "inner")
+    assert_broadcast_join(df)
+
+
+def test_dedup_signatures_are_python_free(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert_no_python(D.minhash_signature(docs), "(minhash)")
+    assert_no_python(D.simhash(docs), "(simhash)")
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    # deterministic fake decode: same content -> same features
+    feats2 = {r["media_id"]: r for r in extract_features(synthetic_media(spark, 30)).collect()}
+    assert by_id == feats2
+    # images sample exactly 1 frame; audio/video 1..8
+    for r in feats:
+        if r["kind"] == "image":
+            assert r["frames_sampled"] == 1
+        assert r["n_bytes"] > 0 and len(r["content_sha"]) == 64
+
+
+def test_multimodal_decode_errors_surface(spark):
+    media = synthetic_media(spark, 3)
+
+    def bad_decoder(content, kind):
+        raise NotImplementedError("no codec in this environment")
+
+    with pytest.raises(Exception):
+        extract_features(media, decode_fn=bad_decoder).collect()
+
+
+# ------------------------------------------------------------- dedup logic
+def test_simhash_banding_is_exact(spark):
+    """Pigeonhole: chunk-candidates + hamming filter == brute force."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),  # near-dup of 1
+            (3, "one two three four five"),
+            (4, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc1"], r["doc2"]) for r in D.simhash_pairs(docs).collect()}
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= D.SIMHASH_HAM
+    }
+    assert got == brute
+    assert (1, 4) in got  # exact dup -> hamming 0
+
+
+def test_exact_dedup_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r["keep_id"]: r["n_dups"] for r in D.exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+# ------------------------------------------------------------- asof edges
+def test_asof_join_equal_ts_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:10")], "lid long, k string, ts_s string"
+    ).select("lid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, "k", "2024-01-01 00:00:10"),  # equal ts: visible (non-strict)
+            (99, "k", "2024-01-01 00:00:10"),  # tie on ts: larger tiebreak wins
+            (50, "k", "2024-01-01 00:00:05"),
+        ],
+        "rid long, k string, ts_s string",
+    ).select("rid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    j = asof_join(left, right, "k", "ts", "ts", ["rid"], right_tiebreak="rid")
+    assert j.collect()[0]["right_rid"] == 100
+
+    j_strict = asof_join(left, right, "k", "ts", "ts", ["rid"], strict=True, right_tiebreak="rid")
+    assert j_strict.collect()[0]["right_rid"] == 50
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["user_id"]: r["n"] for r in salted_count(ev, "user_id").collect()}
+    assert salted == plain
