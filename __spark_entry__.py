@@ -273,6 +273,16 @@ def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", T.fingerprint_col())
 
 
+def q_tablerow_json(spark, sf_dir):
+    from healthcare_data_harmonization_dataflow_spark.functions.reformat import (
+        table_row_to_json,
+    )
+
+    return _events(spark, sf_dir).select(
+        "event_id", table_row_to_json("Event", "props").alias("row_json")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapping_transform": q_mapping_transform,
@@ -301,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "tablerow_json": q_tablerow_json,
     }
 
 
@@ -452,4 +463,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_fingerprint": T.fingerprint_oracle_sql(),
+        "tablerow_json": """
+            SELECT event_id, concat('{"Event":', props, '}') AS row_json FROM events
+        """,
     }

@@ -38,3 +38,17 @@ def _strip_missing(value: Any) -> Any:
     if isinstance(value, list):
         return [_strip_missing(v) for v in value if v is not _MISSING]
     return value
+
+
+def canon_sort(value: Any) -> Any:
+    """Recursively sort object keys — the engine's canonical form for
+    DATA-DERIVED objects. Spark's VARIANT binary format stores object fields
+    key-sorted, so anything passed through the column backend comes out
+    sorted; the pandas backend applies this to extracted values so the two
+    backends agree byte-for-byte. (Config-built structure keeps config
+    order in both backends — named_struct / dict insertion order.)"""
+    if isinstance(value, dict):
+        return {k: canon_sort(value[k]) for k in sorted(value)}
+    if isinstance(value, list):
+        return [canon_sort(v) for v in value]
+    return value

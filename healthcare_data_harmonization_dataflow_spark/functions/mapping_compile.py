@@ -146,7 +146,9 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     v = v[p]
                 else:
                     return _MISSING
-            return v
+            # canonical form for data-derived values: sorted object keys
+            # (matches the column backend's VARIANT behavior; see json_canon)
+            return json_canon.canon_sort(v)
         if isinstance(expr, Call):
             proj = cfg.projectors[expr.name]
             args = [eval_expr(a, env) for a in expr.args]

@@ -128,27 +128,22 @@ def to_transaction_bundle(df: DataFrame, resource_col: str, url: str = "Bundle")
     byte-parity with CreateFhirResourceBundle (DicomToFhirStreamingRunner.java:166-191):
     {"resourceType":"Bundle","type":"transaction","entry":[{"resource":<r>,
     "request":{"method":"POST","url":"<url>"}}]}.
+
+    The resource JSON is validated (the FhirIOWithMetrics pre-POST check,
+    FhirIOWithMetrics.java:310) then spliced verbatim — VARIANT round-trips
+    would sort its keys and break parity with the insertion-ordered golden.
+    Malformed resources yield NULL bundles for the caller's dead-letter
+    branch.
     """
-    resource_variant = F.try_parse_json(F.col(resource_col))
+    res = F.col(resource_col)
     return df.withColumn(
         "bundle",
-        F.to_json(
-            F.named_struct(
-                F.lit("resourceType"),
-                F.lit("Bundle"),
-                F.lit("type"),
-                F.lit(BUNDLE_TYPE),
-                F.lit("entry"),
-                F.array(
-                    F.named_struct(
-                        F.lit("resource"),
-                        resource_variant,
-                        F.lit("request"),
-                        F.named_struct(
-                            F.lit("method"), F.lit("POST"), F.lit("url"), F.lit(url)
-                        ),
-                    )
-                ),
-            )
+        F.when(
+            F.try_parse_json(res).isNotNull(),
+            F.concat(
+                F.lit('{"resourceType":"Bundle","type":"' + BUNDLE_TYPE + '","entry":[{"resource":'),
+                res,
+                F.lit(',"request":{"method":"POST","url":"' + url + '"}}]}'),
+            ),
         ),
     )

@@ -111,6 +111,7 @@ def test_backends_agree(spark):
         ("4", '{"bar":true}'),
         ("5", '{"other":"y"}'),
         ("6", '{"bar":{"nested":[1,2,{"deep":"v"}]}}'),
+        ("6b", '{"bar":{"zz":1,"aa":{"y":2,"x":3}}}'),  # unsorted keys -> canon-sorted
         ("7", '{"bar":"üñíçødé ✓"}'),
         ("8", "not json"),
         ("9", None),

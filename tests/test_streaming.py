@@ -127,6 +127,48 @@ def pipe_schema():
     return BUNDLE_SCHEMA
 
 
+def test_checkpoint_resume_with_new_data(spark, tmp_path):
+    """Kill/restart continuation: a restarted query processes ONLY data that
+    arrived after the first run, and the union of outputs equals a single
+    uninterrupted run (checkpoint-resumable, no dupes, no loss)."""
+    import time as _t
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp)
+    t0 = _t.time()
+    conv_a = [("A", i, "user", '{"bar":%d}' % i, None, f"2024-01-01 00:00:{i:02d}") for i in range(3)]
+    _append_one_file(_turns_df(spark, conv_a), inp, t0)
+    _append_one_file(
+        _turns_df(spark, [("conv-sentinel", 0, "user", "{}", None, "2024-06-01 00:00:00")]),
+        inp, t0 + 100,
+    )
+
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG, out_dir=os.path.join(tmp, "out"),
+        session_gap="2 minutes", watermark_delay="1 minutes",
+        trigger={"availableNow": True},
+    )
+    ck = os.path.join(tmp, "ckpt_h")
+    q = pipe.run_harmonization(spark, inp, ck)
+    q.awaitTermination(300)
+    assert pipe.bundles(spark).filter(F.col("conv_id") == "A").count() == 1
+
+    # stop/"crash", then new conversation B arrives; restart from checkpoint
+    conv_b = [("B", i, "user", '{"bar":%d}' % i, None, f"2024-07-01 00:00:{i:02d}") for i in range(2)]
+    _append_one_file(_turns_df(spark, conv_b), inp, t0 + 200)
+    _append_one_file(
+        _turns_df(spark, [("conv-sentinel", 1, "user", "{}", None, "2024-12-01 00:00:00")]),
+        inp, t0 + 300,
+    )
+    q2 = pipe.run_harmonization(spark, inp, ck)
+    q2.awaitTermination(300)
+
+    bundles = pipe.bundles(spark).filter(F.col("conv_id").isin("A", "B"))
+    got = {(r["conv_id"], r["n_turns"]) for r in bundles.collect()}
+    assert got == {("A", 3), ("B", 2)}  # A not duplicated, B picked up
+
+
 def test_sink_lineage(spark, tmp_path):
     sink = ExactlyOnceParquetSink(str(tmp_path / "s"), "t")
     df = spark.range(100).select(F.col("id").cast("string").alias("conv_id"))
