@@ -44,6 +44,7 @@ class HarmonizationPipeline:
     trigger: dict = field(default_factory=lambda: {"processingTime": "5 seconds"})
     error_shards: int = 10  # --errorLogShardNum default, Hl7v2ToFhirStreamingRunner.java:133-137
     max_files_per_trigger: int | None = None  # None = let availableNow take everything
+    assembly: str = "state_v1"  # "state_v1" (applyInPandasWithState) | "tws" (transformWithState)
 
     def __post_init__(self):
         self.bundles_sink = ExactlyOnceParquetSink(
@@ -86,9 +87,21 @@ class HarmonizationPipeline:
         ok = ok_rows(m).select(
             "conv_id", "turn_idx", "role", F.col("ok").alias("text"), "ts"
         )
-        bundles = assemble_sessions_stateful(
-            ok, gap=self.session_gap, watermark_delay=self.watermark_delay
-        )
+        if self.assembly == "tws":
+            from .assembly_tws import assemble_sessions_tws, tws_available
+
+            if not tws_available():
+                raise RuntimeError(
+                    "assembly='tws' needs google.protobuf (transformWithState "
+                    "state protocol); use assembly='state_v1' here"
+                )
+            bundles = assemble_sessions_tws(
+                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+            )
+        else:
+            bundles = assemble_sessions_stateful(
+                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+            )
         return (
             bundles.writeStream.foreachBatch(self.bundles_sink.foreach_batch())
             .option("checkpointLocation", checkpoint)

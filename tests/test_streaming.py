@@ -127,6 +127,42 @@ def pipe_schema():
     return BUNDLE_SCHEMA
 
 
+def test_tws_assembly_matches_v1(spark, tmp_path):
+    """transformWithState assembly (ListState, O(new) appends) must produce
+    byte-identical bundles to the applyInPandasWithState reference path,
+    including session-gap splits."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly_tws import (
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not available in this environment "
+                    "(transformWithState state-server protocol dependency)")
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    _write_input(spark, inp, total_turns=300)
+
+    outs = {}
+    for mode in ("state_v1", "tws"):
+        pipe = HarmonizationPipeline(
+            mapping_config=CFG,
+            out_dir=os.path.join(tmp, f"out_{mode}"),
+            session_gap="2 minutes",
+            watermark_delay="36 hours",
+            trigger={"availableNow": True},
+            max_files_per_trigger=4,
+            assembly=mode,
+        )
+        q = pipe.run_harmonization(spark, inp, os.path.join(tmp, f"ck_{mode}"))
+        q.awaitTermination(300)
+        outs[mode] = {
+            (r["conv_id"], r["n_turns"], r["bundle"])
+            for r in pipe.bundles(spark).filter(F.col("conv_id") != "conv-sentinel").collect()
+        }
+    assert outs["tws"] == outs["state_v1"]
+    assert len(outs["tws"]) > 0
+
+
 def test_checkpoint_resume_with_new_data(spark, tmp_path):
     """Kill/restart continuation: a restarted query processes ONLY data that
     arrived after the first run, and the union of outputs equals a single
