@@ -103,7 +103,10 @@ def main():
         import __spark_entry__ as entrymod
 
         qmap = entrymod.queries()
+        only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
         for name in BENCH_QUERIES:
+            if only and name not in only:
+                continue
             fn = qmap[name]
             t0 = time.time()
             run_noop(fn(spark, sf_dir))

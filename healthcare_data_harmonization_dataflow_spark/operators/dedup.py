@@ -102,16 +102,28 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the signature.
 
-    Bands explode to (band_idx, band_values...) keys — MINHASH_BANDS rows per
-    doc, fixed width — then a self-equi-join on the band key. Only signatures
-    shuffle, never text. (In production the band key would be hashed to one
-    64-bit bucket id; kept as raw values here so the DuckDB oracle can
-    reproduce the join exactly.)
+    Signature-collapsed: docs with IDENTICAL signatures (exact dups and
+    most near-dups — at J≈0.9 all K minhashes agree ~43% of the time)
+    group first, so the band self-join runs over distinct-signature groups,
+    not documents. On template-heavy corpora this shrinks the quadratic
+    hot-bucket join by the square of the collapse factor; the expansion
+    back to doc pairs is exactly the output size. Only fixed-width
+    signatures ever shuffle, never text. Docs with empty token sets have
+    null signatures and never pair (matches the raw band-join semantics,
+    where null band values fail the equi-join — and the DuckDB oracle).
     """
-    sig = minhash_signature(docs, id_col=id_col)
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = sig.select(
-        F.col(id_col),
+    mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
+    groups = (
+        minhash_signature(docs, id_col=id_col)
+        .filter(F.col("mh0").isNotNull())
+        .groupBy(*mh_cols)
+        .agg(F.collect_list(id_col).alias("members"))
+        .withColumn("gid", F.expr("array_min(members)"))
+    )
+    bands = groups.select(
+        "gid",
+        "members",
         F.posexplode(
             F.array(
                 *[
@@ -127,16 +139,27 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ).alias("band", "vals"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.vals") == F.col("b.vals"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
+        .select(F.col("a.members").alias("m1"), F.col("b.members").alias("m2"))
         .distinct()
+        .select(F.explode("m1").alias("d1"), "m2")
+        .select("d1", F.explode("m2").alias("d2"))
+        .select(F.least("d1", "d2").alias("doc1"), F.greatest("d1", "d2").alias("doc2"))
     )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("d1"), "members")
+        .select("d1", F.explode("members").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(F.col("d1").alias("doc1"), F.col("d2").alias("doc2"))
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_lsh_pairs_oracle_sql() -> str:
@@ -191,13 +214,23 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs at Hamming distance <= SIMHASH_HAM. Exact at scale:
-    chunk-sharing candidates (pigeonhole-complete) + bit_count verification.
+    chunk-sharing candidates (pigeonhole-complete) + bit_count verification,
+    run over DISTINCT simhash values (signature collapse): docs sharing a
+    signature group first, the quadratic chunk join compares signature
+    groups, qualifying group pairs expand back to doc pairs, and intra-group
+    pairs are Hamming-0 by construction. On template-heavy corpora the
+    distinct-value count is far below the doc count, shrinking the hot
+    chunk buckets quadratically without changing the output by one row.
     """
-    sig = simhash(docs, id_col=id_col)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = sig.select(
-        F.col(id_col),
+    groups = (
+        simhash(docs, id_col=id_col)
+        .groupBy("simhash")
+        .agg(F.collect_list(id_col).alias("members"))
+    )
+    chunks = groups.select(
         "simhash",
+        "members",
         F.posexplode(
             F.array(
                 *[
@@ -210,17 +243,40 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ).alias("chunk", "chunk_val"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("doc1"),
-        F.col(f"b.{id_col}").alias("doc2"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    cross = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.members").alias("m1"),
+            F.col("b.members").alias("m2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM)
+        .distinct()
+        .select(F.explode("m1").alias("d1"), "m2", "hamming")
+        .select("d1", F.explode("m2").alias("d2"), "hamming")
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "hamming",
+        )
     )
-    return cand.filter(F.col("hamming") <= SIMHASH_HAM).distinct()
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("d1"), "members")
+        .select("d1", F.explode("members").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc1"),
+            F.col("d2").alias("doc2"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def simhash_oracle_sql() -> str:
@@ -250,10 +306,144 @@ def simhash_pairs_oracle_sql() -> str:
 
 # ------------------------------------------------------------ n-gram jaccard
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    strategy: str = "profile",
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs over distinct-token sets, with prefix
-    filtering (PPJoin-style, exact):
+    """Exact Jaccard-similar pairs over distinct-token sets.
+
+    Two exact strategies, picked by data shape:
+
+    * ``"profile"`` (default): collapse documents to distinct token-SET
+      profiles first, compare profiles, expand back to doc pairs. See
+      :func:`_ngram_jaccard_profile`. Wins when duplicates/templates are
+      common (real crawl corpora: exact-dup collapse is the single biggest
+      reducer) and degrades to the prefix path's cost only when every doc
+      has a unique token set.
+    * ``"prefix"``: PPJoin-style prefix-filtered inverted index — wins on
+      diverse corpora with large vocabularies where few docs share rare
+      tokens. See :func:`_ngram_jaccard_prefix`.
+    """
+    if strategy == "profile":
+        return _ngram_jaccard_profile(docs, threshold, id_col)
+    return _ngram_jaccard_prefix(docs, threshold, id_col)
+
+
+def _ngram_jaccard_profile(
+    docs: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Profile-collapsed exact Jaccard pairs.
+
+    1. Token sets are dictionary-encoded: the 64 highest-document-frequency
+       tokens become bits of an int64 ``mask``; the long tail stays as a
+       sorted ``rare`` array. ``|A∩B| = popcount(maskA & maskB) +
+       |rareA ∩ rareB|`` — exact for ANY vocabulary size, and the popcount
+       covers exactly the high-frequency tokens that make the classic
+       inverted-index join quadratic (sum over tokens of df²).
+    2. Docs collapse to distinct (mask, rare) profiles (one hash shuffle).
+       All-pairs similarity runs over PROFILES (popcount + intersect of
+       usually-tiny rare arrays), not documents.
+    3. Qualifying profile pairs expand back to doc pairs through the member
+       lists; intra-profile pairs are Jaccard-1 by construction. Each doc
+       pair appears exactly once — no distinct needed.
+
+    Scale: the top-64 dictionary is a 64-row aggregate collected to the
+    driver (constant size at any corpus scale) and shipped as a literal map
+    expression — never a shuffle. Profile comparison is a broadcast
+    nested-loop join, right when profile count << doc count; for corpora
+    where profiles stay huge AND diverse, use ``strategy="prefix"``.
+    """
+    threshold_ppm = int(threshold * 1_000_000)
+    wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws")).filter(
+        F.size("ws") > 0
+    )
+    top = (
+        wordsets.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(64)
+        .collect()
+    )
+    if not top:  # empty corpus: no pairs, keep the output schema
+        return wordsets.select(
+            F.col(id_col).alias("doc1"),
+            F.col(id_col).alias("doc2"),
+            F.lit(0).cast("long").alias("jaccard_ppm"),
+        ).filter(F.lit(False))
+    map_items = []
+    for i, row in enumerate(top):
+        map_items.extend([F.lit(row["tok"]), F.lit(i)])
+    encoded = wordsets.withColumn("tokmap", F.create_map(*map_items)).select(
+        F.col(id_col),
+        F.expr(
+            "aggregate(ws, 0L, (acc, w) -> acc | coalesce(shiftleft(1L, tokmap[w]), 0L))"
+        ).alias("mask"),
+        F.expr("array_sort(filter(ws, w -> tokmap[w] is null))").alias("rare"),
+    )
+    profiles = (
+        encoded.groupBy("mask", "rare")
+        .agg(F.collect_list(id_col).alias("members"))
+        .select(
+            F.expr("array_min(members)").alias("pid"),
+            "mask",
+            "rare",
+            (F.bit_count("mask") + F.size("rare")).cast("long").alias("sz"),
+            "members",
+        )
+    )
+    p1, p2 = profiles.alias("p1"), F.broadcast(profiles).alias("p2")
+    cross = p1.join(p2, F.col("p1.pid") < F.col("p2.pid")).select(
+        F.col("p1.members").alias("m1"),
+        F.col("p2.members").alias("m2"),
+        (
+            F.bit_count(F.col("p1.mask").bitwiseAND(F.col("p2.mask")))
+            + F.size(F.array_intersect("p1.rare", "p2.rare"))
+        ).cast("long").alias("common"),
+        (F.col("p1.sz") + F.col("p2.sz")).alias("szsum"),
+    )
+    inter = (
+        cross.withColumn(
+            "jaccard_ppm",
+            F.floor(F.col("common") * 1000000.0 / (F.col("szsum") - F.col("common"))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select(
+            F.explode("m1").alias("d1"),
+            F.col("m2"),
+            "jaccard_ppm",
+        )
+        .select(
+            "d1", F.explode("m2").alias("d2"), "jaccard_ppm"
+        )
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "jaccard_ppm",
+        )
+    )
+    intra = (
+        profiles.filter(F.size("members") >= 2)
+        .select(F.col("members").alias("m"))
+        .select(F.explode("m").alias("d1"), "m")
+        .select("d1", F.explode("m").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc1"),
+            F.col("d2").alias("doc2"),
+            F.lit(1_000_000).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    if threshold_ppm > 1_000_000:
+        return inter.filter(F.lit(False))
+    return inter.unionByName(intra)
+
+
+def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style, exact) inverted-index strategy:
 
     A pair at Jaccard >= t must share a token among each doc's first
     ``floor((1-t)*|d|) + 1`` tokens when tokens are globally ordered by

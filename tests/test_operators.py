@@ -133,3 +133,35 @@ def test_salted_count_matches_plain(spark, sf_dir):
     plain = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     salted = {r["user_id"]: r["n"] for r in salted_count(ev, "user_id").collect()}
     assert salted == plain
+
+
+def test_ngram_jaccard_strategies_agree(spark, sf_dir):
+    """The profile-collapsed path (mask+rare encoding, signature collapse,
+    expansion) must return the exact multiset the PPJoin prefix path does."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = D.ngram_jaccard_pairs(docs, 0.5, strategy="profile")
+    pref = D.ngram_jaccard_pairs(docs, 0.5, strategy="prefix")
+    assert prof.exceptAll(pref).count() == 0
+    assert pref.exceptAll(prof).count() == 0
+
+
+def test_ngram_jaccard_profile_edges(spark):
+    """Empty docs never pair; identical sets pair at exactly 1e6 ppm even
+    when their text differs in token multiplicity/order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "gamma beta alpha alpha"),  # same distinct set as 1
+            (3, ""),
+            (4, ""),
+            (5, "alpha beta gamma delta"),  # jaccard 3/4 with 1,2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc1"], r["doc2"]): r["jaccard_ppm"]
+        for r in D.ngram_jaccard_pairs(docs, 0.5, strategy="profile").collect()
+    }
+    assert rows[(1, 2)] == 1_000_000
+    assert rows[(1, 5)] == 750_000 and rows[(2, 5)] == 750_000
+    assert not any(3 in p or 4 in p for p in rows)
