@@ -253,6 +253,15 @@ def q_ann_brute_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return S.embedding_cosine_pairs(_emb(spark, sf_dir), threshold_ppm=300_000)
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *T.quality_cols())
 
@@ -307,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -452,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": D.simhash_pairs_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),
         "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
+        "ann_lsh_topk": S.lsh_topk_oracle_sql(k=5, n_queries=10),
+        "dedup_embedding_cosine": S.embedding_cosine_pairs_oracle_sql(300_000),
         "text_quality": T.quality_oracle_sql(),
         "text_langid": T.langid_oracle_sql(),
         "text_tokens": f"""

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "ann_brute_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
     "text_quality",
     "text_fingerprint",
 ]

@@ -79,22 +79,56 @@ def brute_force_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
 
 # ------------------------------------------------------- LSH-bucketed ANN
 LSH_PLANES = 4  # 2^4 buckets; deterministic pseudo-hyperplanes
+LSH_DIM = 64  # embedding dimensionality of the documents/embeddings tables
 
 
-def _plane_expr(p: int) -> str:
-    """Sign of a deterministic pseudo-random projection: plane p weights
-    component i by cos(p*31 + i*7) — fixed, engine-independent math."""
+def _plane_weights(p: int, dim: int = LSH_DIM) -> list[int]:
+    """Integer weights of pseudo-hyperplane ``p``: a fixed LCG stream, so
+    both engines receive the SAME literal array — no runtime hashing, no
+    transcendental functions whose last-ulp rounding could differ between
+    engines and flip a sign."""
+    state = (p * 2654435761 + 1013904223) & 0x7FFFFFFF
+    out = []
+    for _ in range(dim):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(state % 2001 - 1000)
+    return out
+
+
+def _plane_dot(p: int, dim: int) -> str:
+    """Integer projection of a quantized vector onto plane p (Spark SQL).
+    floor(x*QUANT) quantization keeps everything in exact int64 math."""
+    ws = ", ".join(str(w) for w in _plane_weights(p, dim))
     return (
-        f"(case when aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
-        f"(x, i) -> cast(x as double) * cos(cast({p} * 31 + i * 7 as double))), "
-        f"cast(0.0 as double), (acc, v) -> acc + v) >= 0 then 1 else 0 end)"
+        f"aggregate(zip_with(embedding, array({ws}), "
+        f"(x, w) -> cast(floor(x * {QUANT}) as bigint) * w), 0L, (acc, v) -> acc + v)"
     )
 
 
-def lsh_bucket(embeddings: DataFrame) -> DataFrame:
-    """Assign each vector a 2^LSH_PLANES-way bucket by hyperplane signs."""
-    bucket = " + ".join(f"{_plane_expr(p)} * {1 << p}" for p in range(LSH_PLANES))
+def _plane_dot_duck(p: int, dim: int) -> str:
+    ws = ", ".join(str(w) for w in _plane_weights(p, dim))
+    return (
+        f"list_sum(list_transform(list_zip(embedding, [{ws}]), "
+        f"pr -> CAST(floor(pr[1] * {QUANT}) AS BIGINT) * pr[2]))"
+    )
+
+
+def lsh_bucket(embeddings: DataFrame, dim: int = LSH_DIM) -> DataFrame:
+    """Assign each vector a 2^LSH_PLANES-way bucket by hyperplane signs.
+    Exact integer math — reproducible on any engine, any partitioning."""
+    bucket = " + ".join(
+        f"(case when {_plane_dot(p, dim)} >= 0 then {1 << p} else 0 end)"
+        for p in range(LSH_PLANES)
+    )
     return embeddings.withColumn("bucket", F.expr(bucket).cast("int"))
+
+
+def lsh_bucket_duck_expr(dim: int = LSH_DIM) -> str:
+    """The DuckDB expression computing the same bucket id."""
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_duck(p, dim)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
 
 
 def lsh_topk(
@@ -140,3 +174,100 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 10, dim: int = LSH_DIM) -> str:
+    """DuckDB oracle reproducing lsh_topk exactly (same integer buckets,
+    same quantized scores, same tie-break)."""
+    b = lsh_bucket_duck_expr(dim)
+    return f"""
+    WITH bucketed AS (SELECT *, {b} AS bucket FROM embeddings),
+    q AS (SELECT * FROM bucketed WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(floor(p[1] * {QUANT}) AS BIGINT)
+                         * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot
+      FROM q a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------- embedding near-dup pairs
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold_ppm: int = 900_000,
+    id_col: str = "vec_id",
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: vectors in the SAME LSH bucket
+    whose cosine similarity reaches ``threshold_ppm`` (parts per million).
+
+    LSH blocking is the scale path (the bucket equi-join moves ~1/2^R of
+    the corpus per bucket; no full-corpus cross join); verification inside a
+    bucket is exact. Cross-engine exactness of the score: components
+    quantize to int64 (floor(x*QUANT)); dot and squared norms are integer;
+    the only float steps are one product, one IEEE-correctly-rounded sqrt,
+    one division and one floor — all exactly rounded, hence bit-identical
+    on any IEEE-754 engine. Zero-norm vectors never pair.
+    """
+    b = lsh_bucket(embeddings, dim)
+    qnorm = (
+        f"aggregate(transform(embedding, x -> cast(floor(x * {QUANT}) as bigint) "
+        f"* cast(floor(x * {QUANT}) as bigint)), 0L, (acc, v) -> acc + v)"
+    )
+    withn = b.withColumn("qn", F.expr(qnorm))
+    a, c = withn.alias("a"), withn.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.qn") > 0)
+        & (F.col("b.qn") > 0),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec1"),
+        F.col(f"b.{id_col}").alias("vec2"),
+        F.expr(_SPARK_QDOT).alias("qdot"),
+        (F.col("a.qn") * F.col("b.qn")).alias("nprod"),
+    )
+    scored = pairs.withColumn(
+        "cosine_ppm",
+        F.floor(F.col("qdot") * 1000000.0 / F.sqrt(F.col("nprod").cast("double"))).cast(
+            "long"
+        ),
+    )
+    return scored.filter(F.col("cosine_ppm") >= threshold_ppm).select(
+        "vec1", "vec2", "cosine_ppm"
+    )
+
+
+def embedding_cosine_pairs_oracle_sql(
+    threshold_ppm: int = 900_000, dim: int = LSH_DIM
+) -> str:
+    b = lsh_bucket_duck_expr(dim)
+    qn = (
+        f"list_sum(list_transform(embedding, x -> CAST(floor(x * {QUANT}) AS BIGINT)"
+        f" * CAST(floor(x * {QUANT}) AS BIGINT)))"
+    )
+    return f"""
+    WITH bucketed AS (SELECT *, {b} AS bucket, {qn} AS qn FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(floor(p[1] * {QUANT}) AS BIGINT)
+                         * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot,
+             a.qn * b.qn AS nprod
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id AND a.qn > 0 AND b.qn > 0
+    )
+    SELECT vec1, vec2,
+           CAST(floor(qdot * 1000000.0 / sqrt(CAST(nprod AS DOUBLE))) AS BIGINT)
+             AS cosine_ppm
+    FROM pairs
+    WHERE floor(qdot * 1000000.0 / sqrt(CAST(nprod AS DOUBLE))) >= {threshold_ppm}
+    """

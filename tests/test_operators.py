@@ -165,3 +165,36 @@ def test_ngram_jaccard_profile_edges(spark):
     assert rows[(1, 2)] == 1_000_000
     assert rows[(1, 5)] == 750_000 and rows[(2, 5)] == 750_000
     assert not any(3 in p or 4 in p for p in rows)
+
+
+def test_embedding_cosine_pairs_symmetric_exact(spark, sf_dir):
+    """Every reported pair must actually reach the threshold, computed
+    independently in Python over the quantized components, and every
+    same-bucket pair reaching it must be reported."""
+    from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["vec1"], r["vec2"]): r["cosine_ppm"]
+        for r in S.embedding_cosine_pairs(emb, threshold_ppm=100_000).collect()
+    }
+    rows = S.lsh_bucket(emb).collect()
+    byid = {r["vec_id"]: (r["bucket"], [math.floor(x * 1000) for x in r["embedding"]]) for r in rows}
+    expect = {}
+    ids = sorted(byid)
+    for i, a in enumerate(ids):
+        ba, qa = byid[a]
+        na = sum(x * x for x in qa)
+        for b in ids[i + 1:]:
+            bb, qb = byid[b]
+            if ba != bb or na == 0:
+                continue
+            nb = sum(x * x for x in qb)
+            if nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(qa, qb))
+            ppm = math.floor(dot * 1000000.0 / math.sqrt(na * nb))
+            if ppm >= 100_000:
+                expect[(a, b)] = ppm
+    assert got == expect
