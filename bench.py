@@ -116,7 +116,10 @@ def bench_streaming(spark, n_turns: int = 200_000):
         # fewer state partitions locally: per-partition state-store commit
         # overhead dominates at this scale (cluster runs size this to cores)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("BENCH_STREAM_PARTITIONS", "16"),
+        )
         try:
             pipe = HarmonizationPipeline(
                 mapping_config=CFG,
@@ -128,6 +131,9 @@ def bench_streaming(spark, n_turns: int = 200_000):
                 # cover that disorder — same setting the e2e tests use; rows
                 # dropped as late would silently shrink the measured work
                 watermark_delay="36 hours",
+                # production bundle-size cap: the hot conversation otherwise
+                # renders one giant JSON bundle in a single task (serial tail)
+                max_turns_per_bundle=10_000,
             )
             t0 = time.time()
             q = pipe.run_harmonization(spark, inp, os.path.join(root, "ckpt"))
@@ -159,6 +165,31 @@ def main():
         master=f"local[{cpus}]",
         shuffle_partitions=2 * int(cpus),
     )
+
+    if mode == "stream_only":
+        # scaling-evidence mode: the streaming pipeline alone, JIT-warmed,
+        # best-of-2, at whatever parallelism the env selects
+        bench_streaming(spark, 50_000)
+        best = None
+        for _ in range(2):
+            s_elapsed, s_tps, s_batch, s_nb, s_out = bench_streaming(spark, n_turns)
+            best = (s_elapsed, s_tps, s_batch, s_nb, s_out) if best is None or s_tps > best[1] else best
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_turns_per_sec",
+                    "value": round(best[1]),
+                    "unit": "turns/sec",
+                    "queries": {"streaming_harmonize": round(best[0], 3)},
+                    "sf": "generated",
+                    "cpus": int(cpus),
+                    "turns_per_sec": round(best[1]),
+                    "streaming_output_turns": best[4],
+                    "harmonize_turns": n_turns,
+                }
+            )
+        )
+        return
 
     # JIT warmup: the same expression shapes at small scale (C2 compilation
     # of generated code dominates first runs — measured 5x on cold paths)

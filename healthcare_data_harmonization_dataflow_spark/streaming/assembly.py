@@ -107,18 +107,33 @@ def _bundle_row(key, session: list, gap_seconds: int) -> dict:
     }
 
 
+def _chunks(session: list, max_turns: int | None) -> list[list]:
+    """Bundle-size cap (production knob, mirrors the batch operator's
+    max_turns_per_bundle): a giant session emits several bundles instead of
+    one enormous JSON render in a single task."""
+    if not max_turns or len(session) <= max_turns:
+        return [session]
+    ordered = sorted(session, key=lambda t: (t[0], t[1], t[2]))
+    return [ordered[i : i + max_turns] for i in range(0, len(ordered), max_turns)]
+
+
 def _assemble(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_seconds: int,
+    max_turns_per_bundle: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     gap_us = gap_seconds * 1_000_000
 
     if state.hasTimedOut:
         (blob, _) = state.get
         turns = pickle.loads(blob)
-        rows = [_bundle_row(key, s, gap_seconds) for s in _split_sessions(turns, gap_us)]
+        rows = [
+            _bundle_row(key, c, gap_seconds)
+            for s in _split_sessions(turns, gap_us)
+            for c in _chunks(s, max_turns_per_bundle)
+        ]
         state.remove()
         yield pd.DataFrame(rows)
         return
@@ -173,21 +188,29 @@ def _assemble(
         state.remove()
 
     if complete:
-        yield pd.DataFrame([_bundle_row(key, s, gap_seconds) for s in complete])
+        yield pd.DataFrame(
+            [
+                _bundle_row(key, c, gap_seconds)
+                for s in complete
+                for c in _chunks(s, max_turns_per_bundle)
+            ]
+        )
 
 
 def assemble_sessions_stateful(
     transcripts: DataFrame,
     gap: str = "5 minutes",
     watermark_delay: str = "10 minutes",
+    max_turns_per_bundle: int | None = None,
 ) -> DataFrame:
     """Streaming session assembly. ``transcripts`` must contain
     conv_id/turn_idx/role/text/ts. Watermark on ts bounds state size and
-    drives the event-time session timeout."""
+    drives the event-time session timeout. ``max_turns_per_bundle`` caps
+    bundle size (chunked emission for hot conversations)."""
     gap_seconds = _parse_seconds(gap)
 
     def fn(key, pdfs, state):
-        return _assemble(key, pdfs, state, gap_seconds)
+        return _assemble(key, pdfs, state, gap_seconds, max_turns_per_bundle)
 
     return (
         transcripts.select("conv_id", "turn_idx", "role", "text", "ts")

@@ -45,6 +45,7 @@ class HarmonizationPipeline:
     error_shards: int = 10  # --errorLogShardNum default, Hl7v2ToFhirStreamingRunner.java:133-137
     max_files_per_trigger: int | None = None  # None = let availableNow take everything
     assembly: str = "state_v1"  # "state_v1" (applyInPandasWithState) | "tws" (transformWithState)
+    max_turns_per_bundle: int | None = None  # bundle-size cap (hot-conv chunking)
 
     def __post_init__(self):
         self.bundles_sink = ExactlyOnceParquetSink(
@@ -100,7 +101,10 @@ class HarmonizationPipeline:
             )
         else:
             bundles = assemble_sessions_stateful(
-                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+                ok,
+                gap=self.session_gap,
+                watermark_delay=self.watermark_delay,
+                max_turns_per_bundle=self.max_turns_per_bundle,
             )
         return (
             bundles.writeStream.foreachBatch(self.bundles_sink.foreach_batch())

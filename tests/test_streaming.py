@@ -378,3 +378,36 @@ def test_time_ordered_stream_conserves_turns(spark, tmp_path):
     q.awaitTermination(600)
     got = pipe.bundles(spark).filter(F.col("conv_id") != "conv-sentinel")
     assert got.selectExpr("sum(n_turns)").first()[0] == n
+
+
+def test_bundle_size_cap_chunks_hot_conversation(spark, tmp_path):
+    """max_turns_per_bundle splits a giant session into several bundles with
+    no turn lost and per-bundle turn_idx ordering preserved."""
+    from healthcare_data_harmonization_dataflow_spark.sources.transcripts import (
+        write_time_ordered_stream,
+    )
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    t = generate_transcripts(spark, total_turns=2000, late_one_in=10**9,
+                             malformed_per_mille=0)
+    write_time_ordered_stream(t, inp, n_files=4)
+    append_flush_sentinel(spark, inp)
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        trigger={"availableNow": True},
+        watermark_delay="36 hours",
+        max_turns_per_bundle=50,
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ck"))
+    q.awaitTermination(300)
+    b = pipe.bundles(spark).filter(F.col("conv_id") != "conv-sentinel")
+    rows = b.collect()
+    assert sum(r["n_turns"] for r in rows) == 2000
+    assert max(r["n_turns"] for r in rows) <= 50
+    hot = sorted((r for r in rows if r["conv_id"] == "conv-hot"),
+                 key=lambda r: json.loads(r["bundle"])[0]["turn_idx"])
+    assert len(hot) == 4  # 200 hot turns / 50
+    seen = [t["turn_idx"] for r in hot for t in json.loads(r["bundle"])]
+    assert seen == sorted(seen) == list(range(200))

@@ -28,11 +28,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, n_turns: int) -> dict:
+def run_level(cpus: int, n_turns: int, mode: str = "harmonize_only") -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        BENCH_MODE="harmonize_only",
+        BENCH_MODE=mode,
         BENCH_TURNS=str(n_turns),
     )
     out = subprocess.run(
@@ -53,17 +53,23 @@ def main():
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    mode = sys.argv[5] if len(sys.argv) > 5 else "harmonize_only"
 
     best = {lo: 0, hi: 0}
     runs = []
     for _ in range(rounds):
         for level in (lo, hi):
-            r = run_level(level, n_turns)
+            r = run_level(level, n_turns, mode)
             runs.append((level, r["turns_per_sec"]))
             best[level] = max(best[level], r["turns_per_sec"])
     eff = (best[hi] / best[lo]) / (hi / lo)
+    jobdesc = (
+        "harmonize (generate -> VARIANT mapping -> chunked session bundle assembly)"
+        if mode == "harmonize_only"
+        else "streaming pipeline (file stream -> mapping -> stateful session assembly -> exactly-once sink)"
+    )
     result = {
-        "job": "harmonize (generate -> VARIANT mapping -> chunked session bundle assembly)",
+        "job": jobdesc,
         "n_turns": n_turns,
         "all_runs": [{"cpus": c, "turns_per_sec": t} for c, t in runs],
         "best": {f"local[{lo}]": best[lo], f"local[{hi}]": best[hi]},
@@ -74,7 +80,7 @@ def main():
     print(json.dumps(result, indent=2))
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (N={lo} vs 4N={hi} cores, {n_turns:,} turns, "
+            f"\n## Scaling run [{mode}] (N={lo} vs 4N={hi} cores, {n_turns:,} turns, "
             f"{rounds} interleaved rounds, best per level)\n\n"
             f"| level | best turns/sec |\n|---|---|\n"
             f"| local[{lo}] | {best[lo]:,} |\n"
