@@ -262,6 +262,54 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return S.embedding_cosine_pairs(_emb(spark, sf_dir), threshold_ppm=300_000)
 
 
+def q_cep_dangling_assistant(spark, sf_dir):
+    """CEP-style gap detection: assistant turns never followed by another
+    turn in the same conversation within 10 minutes (the "unanswered
+    response" pattern — a MATCH_RECOGNIZE-ish sequence check expressed as a
+    lead() window, one shuffle on conv_id)."""
+    from pyspark.sql.window import Window
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    return (
+        t.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & (F.col("next_ts").isNull() | (gap_us > 600 * 1_000_000))
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.coalesce(F.floor(gap_us / 1_000_000), F.lit(-1))
+            .cast("long")
+            .alias("gap_seconds"),
+        )
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents re-cast as opaque media blobs, decoded
+    by the (deterministic stub) decoder via Arrow-batched mapInPandas. The
+    stub is sha256-derived, so DuckDB can reproduce it exactly — the oracle
+    checks the full Python plumbing path end-to-end."""
+    from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+    )
+    return extract_features(media)
+
+
 def q_text_quality(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", *T.quality_cols())
 
@@ -318,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_features": q_multimodal_features,
+        "cep_dangling_assistant": q_cep_dangling_assistant,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -465,6 +515,39 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
         "ann_lsh_topk": S.lsh_topk_oracle_sql(k=5, n_queries=10),
         "dedup_embedding_cosine": S.embedding_cosine_pairs_oracle_sql(300_000),
+        "cep_dangling_assistant": f"""
+            WITH t AS ({TRANSCRIPTS_SQL}),
+            led AS (
+              SELECT conv_id, turn_idx, role, ts,
+                     lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_ts
+              FROM t
+            )
+            SELECT conv_id, turn_idx, ts,
+                   CAST(coalesce(floor((epoch_us(next_ts) - epoch_us(ts)) / 1000000.0),
+                                 -1) AS BIGINT) AS gap_seconds
+            FROM led
+            WHERE role = 'assistant'
+              AND (next_ts IS NULL
+                   OR epoch_us(next_ts) - epoch_us(ts) > 600000000)
+        """,
+        "multimodal_features": """
+    SELECT media_id, kind, content_sha,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           CAST(16 + seed % 64 AS INT) AS feat_width,
+           CAST(16 + (seed >> 8) % 64 AS INT) AS feat_height,
+           CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + seed % 8 END AS INT)
+             AS frames_sampled
+    FROM (
+      SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
+             list_extract(['image','audio','video'],
+                          CAST(doc_id % 3 + 1 AS INT)) AS kind,
+             sha256(coalesce(text, '')) AS content_sha,
+             CAST(concat('0x', substr(sha256(coalesce(text, '')), 1, 8))
+                  AS BIGINT) AS seed,
+             text
+      FROM documents
+    )
+    """,
         "text_quality": T.quality_oracle_sql(),
         "text_langid": T.langid_oracle_sql(),
         "text_tokens": f"""

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "text_quality",
     "text_fingerprint",
+    "multimodal_features",
+    "cep_dangling_assistant",
 ]
 
 
