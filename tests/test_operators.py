@@ -198,3 +198,18 @@ def test_embedding_cosine_pairs_symmetric_exact(spark, sf_dir):
             if ppm >= 100_000:
                 expect[(a, b)] = ppm
     assert got == expect
+
+
+def test_iceberg_integration_gates_cleanly(spark):
+    """No Iceberg runtime in this environment: availability reports False,
+    the reader raises an actionable error, and the catalog conf carries the
+    exact keys spark-submit needs."""
+    from healthcare_data_harmonization_dataflow_spark.sources import iceberg as I
+
+    assert I.iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="--packages org.apache.iceberg"):
+        I.read_transcripts_stream(spark, "local.db.transcripts")
+    conf = I.catalog_conf("local", "/tmp/wh")
+    assert conf["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.local.warehouse"] == "/tmp/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]

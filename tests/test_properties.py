@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — the invariants that golden tests
+can't sweep:
+
+* the two mapping backends (Catalyst VARIANT vs Arrow/pandas closure) agree
+  on ARBITRARY inputs, valid JSON or garbage (SURVEY §5: the engine's
+  correctness story is backend-independent semantics);
+* the streaming session logic (_split_sessions/_render_bundle/_chunks) is
+  invariant under arrival permutation — the reordering guarantee the
+  north-star demands ("stable turn ordering" for bit-exact bundles).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from healthcare_data_harmonization_dataflow_spark.operators.mapping_op import apply_mapping
+from healthcare_data_harmonization_dataflow_spark.streaming.assembly import (
+    _chunks,
+    _render_bundle,
+    _split_sessions,
+)
+
+CFG = "out Output: Proj(root);\ndef Proj(input) { foo: input.bar; }"
+
+# JSON-ish payloads: valid objects, valid-but-unexpected shapes, and garbage
+_scalar = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(max_size=20),
+    st.booleans(),
+    st.none(),
+)
+_payload = st.one_of(
+    st.builds(lambda v: json.dumps({"bar": v}), _scalar),
+    st.builds(lambda d: json.dumps(d), st.dictionaries(st.text(max_size=8), _scalar, max_size=4)),
+    st.builds(lambda v: json.dumps([v]), _scalar),
+    st.text(max_size=30),  # mostly malformed
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_payload, min_size=1, max_size=40))
+def test_mapping_backends_agree_on_arbitrary_input(spark, payloads):
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "id string, data string"
+    )
+    clock = "2024-01-01T00:00:00Z"
+
+    def norm(rows):
+        # stacktrace is backend-specific diagnostics (the Python closure can
+        # attach a real traceback, a Catalyst expression cannot) — every
+        # SEMANTIC field must agree exactly
+        return {
+            r["id"]: (
+                r["ok"],
+                None
+                if r["err"] is None
+                else tuple(
+                    v for k, v in r["err"].asDict().items() if k != "stacktrace"
+                ),
+            )
+            for r in rows
+        }
+
+    got_c = norm(apply_mapping(df, CFG, backend="columns", clock=clock).collect())
+    got_p = norm(apply_mapping(df, CFG, backend="pandas", clock=clock).collect())
+    assert got_c == got_p
+
+
+_turn = st.tuples(
+    st.integers(min_value=0, max_value=50),  # turn_idx
+    st.sampled_from(["user", "assistant", "tool"]),
+    st.text(max_size=12),
+    st.integers(min_value=0, max_value=10**7),  # ts_us
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_turn, min_size=1, max_size=30), st.randoms())
+def test_session_split_and_render_arrival_invariant(turns, rnd):
+    gap_us = 1_000_000
+    shuffled = list(turns)
+    rnd.shuffle(shuffled)
+
+    def bundle_set(ts):
+        return sorted(
+            _render_bundle(s) for s in _split_sessions(list(ts), gap_us)
+        )
+
+    assert bundle_set(turns) == bundle_set(shuffled)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_turn, min_size=1, max_size=40), st.integers(min_value=1, max_value=7))
+def test_chunking_conserves_and_orders(turns, cap):
+    chunks = _chunks(list(turns), cap)
+    assert sum(len(c) for c in chunks) == len(turns)
+    assert all(len(c) <= cap for c in chunks)
+    if len(turns) > cap:
+        flat = [t for c in chunks for t in c]
+        assert flat == sorted(turns, key=lambda t: (t[0], t[1], t[2]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_turn, min_size=1, max_size=30))
+def test_split_sessions_partitions_by_gap(turns):
+    gap_us = 500_000
+    sessions = _split_sessions(list(turns), gap_us)
+    flat = [t for s in sessions for t in s]
+    # partition: nothing lost, nothing invented
+    assert sorted(flat) == sorted(turns)
+    for s in sessions:
+        # within a session, consecutive (ts-sorted) turns are closer than gap
+        for a, b in zip(s, s[1:]):
+            assert b[3] - a[3] < gap_us
+    # across boundaries, the gap criterion held
+    for s1, s2 in zip(sessions, sessions[1:]):
+        assert s2[0][3] - s1[-1][3] >= gap_us
