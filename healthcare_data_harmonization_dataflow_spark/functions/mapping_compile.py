@@ -107,7 +107,10 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Column]):
         base = env[expr.var]
         if not expr.parts:
             return base
-        return F.try_variant_get(base, "$." + ".".join(expr.parts), "variant")
+        path = "$" + "".join(
+            f"[{p}]" if isinstance(p, int) else f".{p}" for p in expr.parts
+        )
+        return F.try_variant_get(base, path, "variant")
     if isinstance(expr, Call):
         proj = cfg.projectors[expr.name]
         args = [_compile_expr(cfg, a, env) for a in expr.args]
@@ -142,7 +145,12 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         if isinstance(expr, Path):
             v = env[expr.var]
             for p in expr.parts:
-                if isinstance(v, dict) and p in v:
+                if isinstance(p, int):
+                    if isinstance(v, list) and 0 <= p < len(v):
+                        v = v[p]
+                    else:
+                        return _MISSING
+                elif isinstance(v, dict) and p in v:
                     v = v[p]
                 else:
                     return _MISSING

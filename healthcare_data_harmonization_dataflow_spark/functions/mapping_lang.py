@@ -9,8 +9,9 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
 
 * ``out <Target>: <expr>;``            — append expr value to output[Target]
 * ``def <Name>(<params>) { field: expr; ... }``   — projector definition
-* expressions: dotted paths (``input.bar.baz``), string/number/bool/null
-  literals, projector calls (``Test(root)``), ``root`` = whole input
+* expressions: dotted paths (``input.bar.baz``), array element access
+  (``input.items[0].name``), string/number/bool/null literals, projector
+  calls (``Test(root)``), ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -97,7 +98,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[{}();:,.])
+  | (?P<punct>[{}();:,.\[\]])
     """,
     re.VERBOSE,
 )
@@ -227,9 +228,19 @@ class _Parser:
                 self.expect(value=")")
                 return Call(v, tuple(args))
             parts = []
-            while self.peek()[1] == ".":
-                self.next()
-                parts.append(self.expect("ident"))
+            while self.peek()[1] in (".", "["):
+                if self.peek()[1] == ".":
+                    self.next()
+                    parts.append(self.expect("ident"))
+                else:  # [n] — array element access
+                    self.next()
+                    num = self.expect("number")
+                    if "." in num or num.startswith("-"):
+                        raise MappingConfigError(
+                            f"array index must be a non-negative integer, got {num!r}"
+                        )
+                    parts.append(int(num))
+                    self.expect(value="]")
             return Path(v, tuple(parts))
         raise MappingConfigError(f"unexpected token {v!r} in expression")
 
@@ -237,7 +248,17 @@ class _Parser:
 def _path_from_source(src: str) -> Path:
     if src == ".":
         return Path("root", ())
-    return Path("root", tuple(p for p in src.split(".") if p))
+    parts: list = []
+    for seg in src.split("."):
+        if not seg:
+            continue
+        m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)((?:\[\d+\])*)", seg)
+        if not m:
+            raise MappingConfigError(f"bad from_source segment {seg!r}")
+        parts.append(m.group(1))
+        for idx in re.findall(r"\[(\d+)\]", m.group(2)):
+            parts.append(int(idx))
+    return Path("root", tuple(parts))
 
 
 def _unescape(s: str) -> str:

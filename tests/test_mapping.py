@@ -167,3 +167,43 @@ def test_column_backend_is_codegen(spark):
     res = apply_mapping(df, TEST_CONFIG, backend="columns", clock=CLOCK)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_array_index_paths_both_backends(spark):
+    """input.items[0].name style access — VARIANT path on the column
+    backend, list indexing on the pandas backend, identical output incl.
+    out-of-range (field omitted) and non-array (field omitted)."""
+    cfg = (
+        "out Output: Pick(root);\n"
+        "def Pick(input) { first: input.items[0].name; second: input.items[1]; }"
+    )
+    rows = [
+        ("a", '{"items":[{"name":"x"},7,8]}'),
+        ("b", '{"items":[{"name":"y"}]}'),       # [1] out of range
+        ("c", '{"items":{"name":"z"}}'),          # not an array
+        ("d", '{"other":1}'),                     # missing entirely
+    ]
+    df = spark.createDataFrame(rows, "id string, data string")
+    for backend in ("columns", "pandas"):
+        got = {
+            r["id"]: r["ok"]
+            for r in apply_mapping(df, cfg, backend=backend).collect()
+        }
+        assert got["a"] == '{"Output":[{"first":"x","second":7}]}', backend
+        assert got["b"] == '{"Output":[{"first":"y"}]}', backend
+        assert got["c"] == '{"Output":[{}]}', backend
+        assert got["d"] == '{"Output":[{}]}', backend
+
+
+def test_array_index_validation():
+    import pytest as _pytest
+
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_lang import (
+        MappingConfigError,
+        parse_mapping_config,
+    )
+
+    with _pytest.raises(MappingConfigError, match="non-negative integer"):
+        parse_mapping_config(
+            "out O: P(root);\ndef P(input) { a: input.items[1.5]; }"
+        )
