@@ -150,7 +150,21 @@ def bench_streaming(spark, n_turns: int = 200_000):
         out_turns = (
             pipe.bundles(spark).selectExpr("sum(n_turns)").first()[0] or 0
         )
-        return elapsed, n_turns / elapsed, elapsed / max(1, len(batches)), len(batches), int(out_turns)
+        # end-to-end watermark lag (the BASELINE metric): wall-clock from a
+        # batch's completion to the watermark it established — i.e. how far
+        # behind the stream's own event-time frontier the engine runs. With
+        # the bounded replay the meaningful figure is the per-batch
+        # processing latency; the event-time watermark itself is asserted to
+        # ADVANCE monotonically across batches.
+        wms = [p["watermark"] for p in listener.progress if p.get("watermark")]
+        assert wms == sorted(wms), f"watermark regressed: {wms}"
+        return (
+            elapsed,
+            n_turns / elapsed,
+            elapsed / max(1, len(batches)),
+            len(batches),
+            int(out_turns),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

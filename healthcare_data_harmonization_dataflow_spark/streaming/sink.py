@@ -26,8 +26,9 @@ import json
 import os
 import time
 
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
@@ -56,18 +57,18 @@ class ExactlyOnceParquetSink:
         if self.num_shards:
             out = out.coalesce(self.num_shards)
         path = os.path.join(self.base_dir, "data", f"batch={batch_id}")
-        out = out.cache()
-        try:
-            out.write.mode("overwrite").parquet(path)
-            # per-partition lineage (one extra cheap agg on the cached batch)
-            lineage = [
-                {"partition_id": r["pid"], "rows": r["rows"]}
-                for r in out.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
-            ]
-        finally:
-            out.unpersist()
+        out.write.mode("overwrite").parquet(path)
+        # per-partition lineage from the written files' parquet footers:
+        # one task = one part file, and a footer read is metadata-only — no
+        # cache of the batch, no second Spark pass (a cached 100 TB batch
+        # would spill; a footer listing is O(files))
+        lineage = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet") or fname.startswith("."):
+                continue
+            pid = int(fname.split("-")[1])
+            nrows = pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows
+            lineage.append({"partition_id": pid, "rows": nrows, "file": fname})
         commit = {
             "batch_id": batch_id,
             "rows": sum(p["rows"] for p in lineage),
