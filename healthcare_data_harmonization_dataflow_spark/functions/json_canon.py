@@ -25,7 +25,35 @@ _MISSING = object()  # sentinel: field absent (Whistle nil-propagation)
 
 
 def dumps(value: Any) -> str:
-    return json.dumps(_strip_missing(value), ensure_ascii=False, separators=(",", ":"))
+    s = json.dumps(_strip_missing(value), ensure_ascii=False, separators=(",", ":"))
+    return _uppercase_control_escapes(s)
+
+
+def _uppercase_control_escapes(s: str) -> str:
+    """Jackson (Spark's to_json) writes control-character escapes with
+    UPPERCASE hex (``\\u000F``); Python's json module writes lowercase.
+    With ensure_ascii=False the ONLY ``\\uXXXX`` escapes the json module
+    emits are control chars (``\\u00xx``), so an escape-aware scan that
+    uppercases their hex digits makes the two writers byte-identical."""
+    if "\\u" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= n:
+                out.append("\\u")
+                out.append(s[i + 2 : i + 6].upper())
+                i += 6
+            else:
+                out.append(s[i : i + 2])  # \\, \", \n, ... — skip as a pair
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def loads(s: str) -> Any:
