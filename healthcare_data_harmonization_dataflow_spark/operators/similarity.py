@@ -115,12 +115,26 @@ def _plane_dot_duck(p: int, dim: int) -> str:
 
 def lsh_bucket(embeddings: DataFrame, dim: int = LSH_DIM) -> DataFrame:
     """Assign each vector a 2^LSH_PLANES-way bucket by hyperplane signs.
-    Exact integer math — reproducible on any engine, any partitioning."""
+    Exact integer math — reproducible on any engine, any partitioning.
+
+    The plane weights ride in as a broadcast ONE-ROW table instead of
+    LSH_PLANES*dim inline literals: the literal form generated hundreds of
+    constants into whole-stage codegen and was observed to compile 10-50x
+    slower under JIT code-cache pressure late in a long session."""
+    spark = embeddings.sparkSession
+    weights = [_plane_weights(p, dim) for p in range(LSH_PLANES)]
+    wdf = spark.createDataFrame([(weights,)], "_lshw array<array<bigint>>")
     bucket = " + ".join(
-        f"(case when {_plane_dot(p, dim)} >= 0 then {1 << p} else 0 end)"
+        f"(case when aggregate(zip_with(embedding, _lshw[{p}], "
+        f"(x, w) -> cast(floor(x * {QUANT}) as bigint) * w), 0L, "
+        f"(acc, v) -> acc + v) >= 0 then {1 << p} else 0 end)"
         for p in range(LSH_PLANES)
     )
-    return embeddings.withColumn("bucket", F.expr(bucket).cast("int"))
+    return (
+        embeddings.crossJoin(F.broadcast(wdf))
+        .withColumn("bucket", F.expr(bucket).cast("int"))
+        .drop("_lshw")
+    )
 
 
 def lsh_bucket_duck_expr(dim: int = LSH_DIM) -> str:
