@@ -289,6 +289,32 @@ def q_cep_dangling_assistant(spark, sf_dir):
     )
 
 
+def q_cep_error_burst(spark, sf_dir):
+    """CEP error-burst detection: tumbling windows whose error rate crosses
+    a threshold — the streaming alert the reference's windowed error sink +
+    counters exist to feed. One shuffle; rate in exact ppm integer math."""
+    from healthcare_data_harmonization_dataflow_spark.operators.windows import tumbling
+
+    ev = _events(spark, sf_dir)
+    win = tumbling(
+        ev,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        ],
+    )
+    return (
+        win.withColumn(
+            "err_ppm",
+            F.floor(F.col("n_errors") * 1000000.0 / F.col("n_total")).cast("long"),
+        )
+        .filter((F.col("err_ppm") >= 150_000) & (F.col("n_errors") >= 3))
+        .select("win_start", "n_total", "n_errors", "err_ppm")
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents re-cast as opaque media blobs, decoded
     by the (deterministic stub) decoder via Arrow-batched mapInPandas. The
@@ -368,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
         "cep_dangling_assistant": q_cep_dangling_assistant,
+        "cep_error_burst": q_cep_error_burst,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -529,6 +556,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE role = 'assistant'
               AND (next_ts IS NULL
                    OR epoch_us(next_ts) - epoch_us(ts) > 600000000)
+        """,
+        "cep_error_burst": """
+            WITH w AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                     CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_errors
+              FROM events GROUP BY 1
+            )
+            SELECT win_start, n_total, n_errors,
+                   CAST(floor(n_errors * 1000000.0 / n_total) AS BIGINT) AS err_ppm
+            FROM w
+            WHERE floor(n_errors * 1000000.0 / n_total) >= 150000 AND n_errors >= 3
         """,
         "multimodal_features": """
     SELECT media_id, kind, content_sha,

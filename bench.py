@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "multimodal_features",
     "cep_dangling_assistant",
+    "cep_error_burst",
 ]
 
 

@@ -411,3 +411,35 @@ def test_bundle_size_cap_chunks_hot_conversation(spark, tmp_path):
     assert len(hot) == 4  # 200 hot turns / 50
     seen = [t["turn_idx"] for r in hot for t in json.loads(r["bundle"])]
     assert seen == sorted(seen) == list(range(200))
+
+
+def test_sink_crash_between_write_and_commit(spark, tmp_path):
+    """The documented crash window: batch data fully written but the commit
+    marker never landed. Readers must ignore the orphan data; a replay of
+    the same batchId must clobber it and commit exactly once."""
+    import os as _os
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "s"), "t")
+    df = spark.range(50).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df, 0)
+
+    # simulate the crash for batch 1: data present, no commit marker
+    crash_df = spark.range(50, 80).select(F.col("id").cast("string").alias("conv_id"))
+    crash_path = _os.path.join(str(tmp_path / "s"), "data", "batch=1")
+    crash_df.write.mode("overwrite").parquet(crash_path)
+
+    assert sink.read_committed(spark).count() == 50  # orphan invisible
+    assert sink.committed_batches() == [0]
+
+    # replay batch 1 (streaming redelivers the same epoch after restart)
+    replay_df = spark.range(50, 90).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(replay_df, 1)
+    got = sink.read_committed(spark)
+    assert got.count() == 90
+    assert got.select("conv_id").distinct().count() == 90  # no dupes, no loss
+    assert sink.committed_batches() == [0, 1]
+    assert sink.lineage()[1]["rows"] == 40
+
+    # second replay of a committed batch is a no-op
+    sink.write_batch(replay_df, 1)
+    assert sink.read_committed(spark).count() == 90
