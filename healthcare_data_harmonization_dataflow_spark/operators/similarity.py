@@ -69,7 +69,8 @@ def brute_force_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
                          * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot
       FROM q a JOIN embeddings b ON a.vec_id != b.vec_id
     )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(qdot AS BIGINT) AS qdot FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY qdot DESC, neighbor_id ASC) AS rank
       FROM scored
@@ -204,7 +205,8 @@ def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 10, dim: int = LSH_DIM) -> 
                          * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot
       FROM q a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
     )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, qdot FROM (
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(qdot AS BIGINT) AS qdot FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY qdot DESC, neighbor_id ASC) AS rank
       FROM scored
