@@ -79,8 +79,18 @@ def brute_force_topk_oracle_sql(k: int = 5, n_queries: int = 10) -> str:
 
 
 # ------------------------------------------------------- LSH-bucketed ANN
-LSH_PLANES = 4  # 2^4 buckets; deterministic pseudo-hyperplanes
+LSH_PLANES = 4  # 2^4 buckets; single-table variant (kept for diagnostics)
 LSH_DIM = 64  # embedding dimensionality of the documents/embeddings tables
+
+# Banded multi-table LSH (the scale path): LSH_BANDS independent hash
+# tables, each bucketing by the sign pattern of LSH_ROWS_PER_BAND
+# hyperplanes -> 2^rows buckets per band. Bucket count scales with the
+# corpus (raise rows_per_band as N grows: candidate work per band is
+# N^2/2^rows); recall scales with bands (a pair is a candidate if it
+# collides in ANY band). Plane weights are deterministic integers, so the
+# DuckDB oracle reproduces buckets and candidates bit-for-bit.
+LSH_BANDS = 8
+LSH_ROWS_PER_BAND = 8
 
 
 def _plane_weights(p: int, dim: int = LSH_DIM) -> list[int]:
@@ -126,15 +136,16 @@ def lsh_bucket(embeddings: DataFrame, dim: int = LSH_DIM) -> DataFrame:
     weights = [_plane_weights(p, dim) for p in range(LSH_PLANES)]
     wdf = spark.createDataFrame([(weights,)], "_lshw array<array<bigint>>")
     bucket = " + ".join(
-        f"(case when aggregate(zip_with(embedding, _lshw[{p}], "
-        f"(x, w) -> cast(floor(x * {QUANT}) as bigint) * w), 0L, "
+        f"(case when aggregate(zip_with(_qe, _lshw[{p}], "
+        f"(x, w) -> x * w), 0L, "
         f"(acc, v) -> acc + v) >= 0 then {1 << p} else 0 end)"
         for p in range(LSH_PLANES)
     )
     return (
         embeddings.crossJoin(F.broadcast(wdf))
+        .withColumn("_qe", F.expr(_qe_expr(dim)))
         .withColumn("bucket", F.expr(bucket).cast("int"))
-        .drop("_lshw")
+        .drop("_lshw", "_qe")
     )
 
 
@@ -146,21 +157,103 @@ def lsh_bucket_duck_expr(dim: int = LSH_DIM) -> str:
     )
 
 
-def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id"
-) -> DataFrame:
-    """ANN top-k: probe only the query's own LSH bucket, exact re-rank inside.
-    Equi-join on bucket -> shuffle moves ~1/2^R of the corpus per query."""
-    corpus_b = lsh_bucket(embeddings).alias("b")
-    queries_b = lsh_bucket(queries).alias("a")
-    pairs = queries_b.join(
-        corpus_b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+def _qe_expr(dim: int) -> str:
+    """Quantized-int64 copy of the embedding, guarded by a dim assertion.
+
+    The assert rides INSIDE the expression (not a dropped side column, which
+    Catalyst would prune away): a vector of the wrong dimensionality fails
+    the job loudly instead of null-padding every plane dot and silently
+    landing in bucket 0."""
+    return (
+        f"case when assert_true(size(embedding) = {dim}, "
+        f"'lsh: embedding dimension != {dim}') is null "
+        f"then transform(embedding, x -> cast(floor(x * {QUANT}) as bigint)) end"
     )
-    scored = pairs.select(
-        F.col(f"a.{id_col}").alias("query_id"),
-        F.col(f"b.{id_col}").alias("neighbor_id"),
-        F.expr(_SPARK_QDOT).alias("qdot"),
+
+
+_QDOT_QE = "aggregate(zip_with(_qa, _qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def _quantized(embeddings: DataFrame, id_col: str, dim: int) -> DataFrame:
+    return embeddings.select(F.col(id_col), F.expr(_qe_expr(dim)).alias("_qe"))
+
+
+def lsh_band_keys(
+    embeddings: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS_PER_BAND,
+    dim: int = LSH_DIM,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exploded (id, band, bucket) keys of the banded multi-table LSH.
+
+    Each of ``bands`` hash tables buckets a vector by the sign pattern of
+    ``rows`` hyperplanes (2^rows buckets per band). Only the id + two small
+    ints leave this operator — vectors never ride through the band join.
+    Plane weights arrive as ONE broadcast row (array<array<array<bigint>>>),
+    not inline literals (codegen pressure; see lsh_bucket docstring)."""
+    spark = embeddings.sparkSession
+    weights = [
+        [_plane_weights(b * rows + r, dim) for r in range(rows)] for b in range(bands)
+    ]
+    wdf = spark.createDataFrame([(weights,)], "_lshw array<array<array<bigint>>>")
+    band_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(case when aggregate(zip_with(_qe, _lshw[{b}][{r}], "
+            f"(x, w) -> x * w), 0L, (acc, v) -> acc + v) >= 0 then {1 << r} else 0 end)"
+            for r in range(rows)
+        )
+        band_exprs.append(f"cast(({bits}) as int)")
+    return (
+        embeddings.crossJoin(F.broadcast(wdf))
+        .withColumn("_qe", F.expr(_qe_expr(dim)))
+        .withColumn("_bandbuckets", F.expr("array(" + ", ".join(band_exprs) + ")"))
+        .select(F.col(id_col), F.posexplode("_bandbuckets").alias("band", "bucket"))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS_PER_BAND,
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """ANN top-k via banded LSH: a corpus vector is a candidate for a query
+    iff they share a bucket in ANY band; exact integer re-rank inside the
+    candidate set.
+
+    Scale shape: the band equi-join shuffles only (id, band, bucket) triples;
+    candidate id-pairs are distinct'ed BEFORE vectors are fetched, so each
+    surviving pair scores exactly once. Candidate work per band is
+    ~N^2/2^rows — raise ``rows`` as the corpus grows, raise ``bands`` for
+    recall."""
+    ck = lsh_band_keys(embeddings, bands, rows, dim, id_col)
+    qk = lsh_band_keys(queries, bands, rows, dim, id_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cand = (
+        F.broadcast(qk)
+        .join(ck, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qa = F.broadcast(
+        _quantized(queries, id_col, dim)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_qe", "_qa")
+    )
+    qb = _quantized(embeddings, id_col, dim).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).withColumnRenamed("_qe", "_qb")
+    scored = (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select("query_id", "neighbor_id", F.expr(_QDOT_QE).alias("qdot"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
     return (
@@ -191,19 +284,55 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 10, dim: int = LSH_DIM) -> str:
-    """DuckDB oracle reproducing lsh_topk exactly (same integer buckets,
-    same quantized scores, same tie-break)."""
-    b = lsh_bucket_duck_expr(dim)
+def _band_bucket_duck(band: int, rows: int, dim: int) -> str:
+    """DuckDB expression for the band-``band`` bucket id over column qe."""
+    bits = []
+    for r in range(rows):
+        ws = ", ".join(str(w) for w in _plane_weights(band * rows + r, dim))
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(qe, [{ws}]), "
+            f"pr -> pr[1] * pr[2])) >= 0 THEN {1 << r} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
+def _banded_cte_duck(bands: int, rows: int, dim: int) -> str:
+    """CTE prefix computing qe + band0..band{B-1} bucket columns."""
+    band_cols = ", ".join(
+        f"{_band_bucket_duck(b, rows, dim)} AS band{b}" for b in range(bands)
+    )
     return f"""
-    WITH bucketed AS (SELECT *, {b} AS bucket FROM embeddings),
+    qz AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(floor(x * {QUANT}) AS BIGINT))
+                    AS qe
+           FROM embeddings),
+    bucketed AS (SELECT vec_id, qe, {band_cols} FROM qz)"""
+
+
+def lsh_topk_oracle_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    dim: int = LSH_DIM,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS_PER_BAND,
+) -> str:
+    """DuckDB oracle reproducing lsh_topk exactly (same integer band
+    buckets, same any-band candidate rule, same quantized scores and
+    tie-break)."""
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
+    return f"""
+    WITH {_banded_cte_duck(bands, rows, dim)},
     q AS (SELECT * FROM bucketed WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM q a JOIN bucketed b ON a.vec_id != b.vec_id AND ({any_band})
+    ),
     scored AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> CAST(floor(p[1] * {QUANT}) AS BIGINT)
-                         * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot
-      FROM q a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                      p -> p[1] * p[2])) AS qdot
+      FROM cand c JOIN qz qa ON qa.vec_id = c.query_id
+                  JOIN qz qb ON qb.vec_id = c.neighbor_id
     )
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
            CAST(qdot AS BIGINT) AS qdot FROM (
@@ -220,38 +349,66 @@ def embedding_cosine_pairs(
     threshold_ppm: int = 900_000,
     id_col: str = "vec_id",
     dim: int = LSH_DIM,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS_PER_BAND,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: vectors in the SAME LSH bucket
-    whose cosine similarity reaches ``threshold_ppm`` (parts per million).
+    """Embedding-cosine near-duplicate pairs: vectors sharing an LSH bucket
+    in ANY band whose cosine similarity reaches ``threshold_ppm`` (ppm).
 
-    LSH blocking is the scale path (the bucket equi-join moves ~1/2^R of
-    the corpus per bucket; no full-corpus cross join); verification inside a
-    bucket is exact. Cross-engine exactness of the score: components
-    quantize to int64 (floor(x*QUANT)); dot and squared norms are integer;
-    the only float steps are one product, one IEEE-correctly-rounded sqrt,
-    one division and one floor — all exactly rounded, hence bit-identical
-    on any IEEE-754 engine. Zero-norm vectors never pair.
+    Banded blocking is the scale path: the band equi-join moves only
+    (id, band, bucket) triples — vectors never ride through it — and pair
+    work per band is ~N^2/2^rows, so ``rows`` scales the bucket space with
+    the corpus while ``bands`` buys recall. Candidate id-pairs are
+    distinct'ed BEFORE vectors are fetched, so multi-band collisions score
+    once. Cross-engine exactness of the score: components quantize to int64
+    (floor(x*QUANT)); dot and squared norms are integer; the only float
+    steps are one product, one IEEE-correctly-rounded sqrt, one division
+    and one floor — all exactly rounded, hence bit-identical on any
+    IEEE-754 engine. Zero-norm vectors never pair.
     """
-    b = lsh_bucket(embeddings, dim)
-    qnorm = (
-        f"aggregate(transform(embedding, x -> cast(floor(x * {QUANT}) as bigint) "
-        f"* cast(floor(x * {QUANT}) as bigint)), 0L, (acc, v) -> acc + v)"
+    keys = lsh_band_keys(embeddings, bands, rows, dim, id_col)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec1"), F.col(f"b.{id_col}").alias("vec2")
+        )
+        .distinct()
     )
-    withn = b.withColumn("qn", F.expr(qnorm))
-    a, c = withn.alias("a"), withn.alias("b")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (F.col("a.qn") > 0)
-        & (F.col("b.qn") > 0),
-    ).select(
-        F.col(f"a.{id_col}").alias("vec1"),
-        F.col(f"b.{id_col}").alias("vec2"),
-        F.expr(_SPARK_QDOT).alias("qdot"),
-        (F.col("a.qn") * F.col("b.qn")).alias("nprod"),
+    qz = _quantized(embeddings, id_col, dim).withColumn(
+        "qn", F.expr("aggregate(transform(_qe, x -> x * x), 0L, (acc, v) -> acc + v)")
     )
-    scored = pairs.withColumn(
+    scored = (
+        cand.join(
+            qz.select(
+                F.col(id_col).alias("vec1"),
+                F.col("_qe").alias("_qa"),
+                F.col("qn").alias("qn1"),
+            ),
+            "vec1",
+        )
+        .join(
+            qz.select(
+                F.col(id_col).alias("vec2"),
+                F.col("_qe").alias("_qb"),
+                F.col("qn").alias("qn2"),
+            ),
+            "vec2",
+        )
+        .filter((F.col("qn1") > 0) & (F.col("qn2") > 0))
+        .select(
+            "vec1",
+            "vec2",
+            F.expr(_QDOT_QE).alias("qdot"),
+            (F.col("qn1") * F.col("qn2")).alias("nprod"),
+        )
+    )
+    scored = scored.withColumn(
         "cosine_ppm",
         F.floor(F.col("qdot") * 1000000.0 / F.sqrt(F.col("nprod").cast("double"))).cast(
             "long"
@@ -263,23 +420,32 @@ def embedding_cosine_pairs(
 
 
 def embedding_cosine_pairs_oracle_sql(
-    threshold_ppm: int = 900_000, dim: int = LSH_DIM
+    threshold_ppm: int = 900_000,
+    dim: int = LSH_DIM,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS_PER_BAND,
 ) -> str:
-    b = lsh_bucket_duck_expr(dim)
-    qn = (
-        f"list_sum(list_transform(embedding, x -> CAST(floor(x * {QUANT}) AS BIGINT)"
-        f" * CAST(floor(x * {QUANT}) AS BIGINT)))"
-    )
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
     return f"""
-    WITH bucketed AS (SELECT *, {b} AS bucket, {qn} AS qn FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> CAST(floor(p[1] * {QUANT}) AS BIGINT)
-                         * CAST(floor(p[2] * {QUANT}) AS BIGINT))) AS qdot,
-             a.qn * b.qn AS nprod
+    WITH {_banded_cte_duck(bands, rows, dim)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
       FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id AND a.qn > 0 AND b.qn > 0
+        ON a.vec_id < b.vec_id AND ({any_band})
+    ),
+    norms AS (
+      SELECT vec_id, qe,
+             list_sum(list_transform(qe, x -> x * x)) AS qn
+      FROM qz
+    ),
+    pairs AS (
+      SELECT c.vec1, c.vec2,
+             list_sum(list_transform(list_zip(na.qe, nb.qe),
+                      p -> p[1] * p[2])) AS qdot,
+             na.qn * nb.qn AS nprod
+      FROM cand c JOIN norms na ON na.vec_id = c.vec1
+                  JOIN norms nb ON nb.vec_id = c.vec2
+      WHERE na.qn > 0 AND nb.qn > 0
     )
     SELECT vec1, vec2,
            CAST(floor(qdot * 1000000.0 / sqrt(CAST(nprod AS DOUBLE))) AS BIGINT)

@@ -169,8 +169,8 @@ def test_ngram_jaccard_profile_edges(spark):
 
 def test_embedding_cosine_pairs_symmetric_exact(spark, sf_dir):
     """Every reported pair must actually reach the threshold, computed
-    independently in Python over the quantized components, and every
-    same-bucket pair reaching it must be reported."""
+    independently in Python over the quantized components, and every pair
+    colliding in ANY LSH band and reaching it must be reported."""
     from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
     import math
 
@@ -179,16 +179,33 @@ def test_embedding_cosine_pairs_symmetric_exact(spark, sf_dir):
         (r["vec1"], r["vec2"]): r["cosine_ppm"]
         for r in S.embedding_cosine_pairs(emb, threshold_ppm=100_000).collect()
     }
-    rows = S.lsh_bucket(emb).collect()
-    byid = {r["vec_id"]: (r["bucket"], [math.floor(x * 1000) for x in r["embedding"]]) for r in rows}
+
+    def band_sig(q):
+        sig = []
+        for b in range(S.LSH_BANDS):
+            bucket = 0
+            for r in range(S.LSH_ROWS_PER_BAND):
+                w = S._plane_weights(b * S.LSH_ROWS_PER_BAND + r, len(q))
+                if sum(x * y for x, y in zip(q, w)) >= 0:
+                    bucket |= 1 << r
+            sig.append(bucket)
+        return sig
+
+    rows = emb.collect()
+    byid = {
+        r["vec_id"]: [math.floor(x * 1000) for x in r["embedding"]] for r in rows
+    }
+    sigs = {i: band_sig(q) for i, q in byid.items()}
     expect = {}
     ids = sorted(byid)
     for i, a in enumerate(ids):
-        ba, qa = byid[a]
+        qa = byid[a]
         na = sum(x * x for x in qa)
+        if na == 0:
+            continue
         for b in ids[i + 1:]:
-            bb, qb = byid[b]
-            if ba != bb or na == 0:
+            qb = byid[b]
+            if not any(x == y for x, y in zip(sigs[a], sigs[b])):
                 continue
             nb = sum(x * x for x in qb)
             if nb == 0:
@@ -213,3 +230,21 @@ def test_iceberg_integration_gates_cleanly(spark):
     assert conf["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
     assert conf["spark.sql.catalog.local.warehouse"] == "/tmp/wh"
     assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+
+def test_lsh_rejects_wrong_dimension(spark):
+    """A vector of the wrong dimensionality must fail the job loudly, not
+    null-pad the plane dots and silently land in bucket 0 (which would turn
+    LSH blocking into one quadratic bucket)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 16), (2, [0.25] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception) as ei:
+        S.lsh_band_keys(bad).collect()
+    assert "dimension" in str(ei.value)
+    with pytest.raises(Exception):
+        S.lsh_bucket(bad).collect()
