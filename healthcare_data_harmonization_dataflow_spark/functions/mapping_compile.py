@@ -30,6 +30,7 @@ from typing import Any, Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..model.errors import RecoverableMappingError
 from . import json_canon
 from .json_canon import _MISSING
 from .mapping_lang import (
@@ -83,11 +84,17 @@ class CompiledMapping:
     def transform(self, data: str) -> str:
         """Per-record JSON->JSON (the ``engine.transform`` analogue).
 
-        Raises ValueError on malformed input JSON — the caller (mapping
-        operator) converts it into an ErrorEntry, mirroring
-        MappingFnTest.java:77-103 (bad input -> no output + one error).
+        Raises :class:`RecoverableMappingError` on malformed input JSON — a
+        data problem the caller (mapping operator) converts into an
+        ErrorEntry, mirroring MappingFnTest.java:77-103 (bad input -> no
+        output + one error). Any OTHER exception is an engine problem and
+        propagates, per the reference's fatal-vs-recoverable classification
+        (ErrorEnabledDoFn.java:75-77).
         """
-        obj = json_canon.loads(data)  # raises on malformed
+        try:
+            obj = json_canon.loads(data)
+        except ValueError as e:
+            raise RecoverableMappingError(f"invalid input JSON: {data}") from e
         return json_canon.dumps(self._py(obj))
 
 

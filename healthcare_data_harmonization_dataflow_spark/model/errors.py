@@ -37,6 +37,20 @@ STEP_READ = "read"
 STEP_MAPPING = "mapping"
 STEP_WRITE = "write"
 
+
+class RecoverableMappingError(RuntimeError):
+    """A data-dependent transform failure: report to the dead-letter branch
+    and keep the pipeline running.
+
+    The Spark analogue of the reference's "bare RuntimeException" class test
+    (ErrorEnabledDoFn.java:75-77): the reference dead-letters ONLY
+    ``RuntimeException`` exactly and re-throws everything else, so systemic
+    failures (engine bugs, corrupted state, environment problems) crash the
+    pipeline instead of silently eating a whole corpus. Operators here do the
+    same — anything that is not a ``RecoverableMappingError`` (or accepted by
+    the caller's ``report_only`` override) propagates and fails the job.
+    """
+
 ERROR_ENTRY_SCHEMA = StructType(
     [
         StructField("error_resource", StringType()),

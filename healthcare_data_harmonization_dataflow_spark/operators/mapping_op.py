@@ -21,7 +21,7 @@ once-per-JVM synchronized init).
 from __future__ import annotations
 
 import traceback
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions.mapping_compile import CompiledMapping, compile_mapping
-from ..model.errors import ERROR_ENTRY_SCHEMA, STEP_MAPPING, error_entry
+from ..model.errors import (
+    ERROR_ENTRY_SCHEMA,
+    STEP_MAPPING,
+    RecoverableMappingError,
+    error_entry,
+)
 
 # per-worker-process compiled-engine cache (init once per executor, not per batch)
 _ENGINE_CACHE: dict[str, CompiledMapping] = {}
@@ -51,13 +56,27 @@ def apply_mapping(
     backend: str = "auto",
     step: str = STEP_MAPPING,
     clock: str | None = None,
+    report_only: Callable[[Exception], bool] | None = None,
 ) -> DataFrame:
     """Return ``df`` + columns ``ok`` (string) and ``err`` (ErrorEntry).
 
     ``backend="auto"`` uses Catalyst VARIANT expressions when the config is
     projective, else the Arrow/pandas closure. ``clock`` fixes the error
     timestamp for deterministic tests.
+
+    Fatal-vs-recoverable classification (ErrorEnabledDoFn.java:29-77): every
+    failure is written to the dead-letter branch, but only RECOVERABLE ones
+    (``RecoverableMappingError`` — the analogue of the reference's bare
+    ``RuntimeException`` test) let the pipeline continue; anything else
+    re-raises and fails the job, so a systemic failure (an engine bug, a
+    config that throws on every row) cannot silently dead-letter an entire
+    corpus. ``report_only`` overrides the classification, mirroring the
+    overridable ``reportOnly(Throwable)``. The columns backend has the same
+    behavior structurally: data problems surface as null VARIANT (-> err
+    rows) while engine/runtime exceptions fail the Spark task.
     """
+    if report_only is None:
+        report_only = lambda e: isinstance(e, RecoverableMappingError)  # noqa: E731
     mapping = compile_mapping(config_text)  # fail-fast on bad config
 
     if backend == "auto":
@@ -113,10 +132,13 @@ def apply_mapping(
         for i, data in zip(ids, datas):
             try:
                 if data is None:
-                    raise ValueError("invalid input JSON: <null>")
+                    raise RecoverableMappingError("invalid input JSON: <null>")
                 oks.append(eng.transform(data))
                 errs.append(None)
-            except Exception as e:  # recoverable: report-only (ErrorEnabledDoFn.java:75-77)
+            except Exception as e:
+                # Always dead-letter the element (the reference outputs the
+                # ErrorEntry BEFORE deciding to rethrow,
+                # ErrorEnabledDoFn.java:36-45)...
                 oks.append(None)
                 errs.append(
                     {
@@ -128,6 +150,10 @@ def apply_mapping(
                         "sources": [i],
                     }
                 )
+                # ...then crash the job unless the error is recoverable
+                # (ErrorEnabledDoFn.java:42-45, :75-77).
+                if not report_only(e):
+                    raise
         return pd.DataFrame({"ok": oks, "err": errs})
 
     res = df.withColumn("_mapres", map_batch(F.col(id_col), F.col(data_col)))

@@ -56,7 +56,11 @@ def test_python_backend_goldens():
     eng = compile_mapping(TEST_CONFIG)
     assert eng.transform('{"bar":"test"}') == '{"Output":[{"foo":"test"}]}'
     assert eng.transform('{"bar":2}') == '{"Output":[{"foo":2}]}'
-    with pytest.raises(ValueError):
+    from healthcare_data_harmonization_dataflow_spark.model.errors import (
+        RecoverableMappingError,
+    )
+
+    with pytest.raises(RecoverableMappingError):
         eng.transform("{")
 
 
@@ -207,3 +211,43 @@ def test_array_index_validation():
         parse_mapping_config(
             "out O: P(root);\ndef P(input) { a: input.items[1.5]; }"
         )
+
+
+# -------------------------------------------- fatal vs recoverable (W3)
+def test_bad_input_is_recoverable_and_classified(spark):
+    """MappingFnTest.java:77-103 + ErrorEnabledDoFn.java:75-77: malformed
+    input JSON is a RecoverableMappingError -> dead-letter row, pipeline
+    continues, good rows still map."""
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_compile import (
+        compile_mapping,
+    )
+    from healthcare_data_harmonization_dataflow_spark.model.errors import (
+        RecoverableMappingError,
+    )
+
+    eng = compile_mapping(TEST_CONFIG)
+    with pytest.raises(RecoverableMappingError):
+        eng.transform("not json at all")
+
+    df = spark.createDataFrame(
+        [("a", '{"bar": 1}'), ("b", "*** garbage ***")], "id string, data string"
+    )
+    res = apply_mapping(df, TEST_CONFIG, backend="pandas", clock=CLOCK)
+    assert ok_rows(res).count() == 1
+    err = err_rows(res).collect()[0]["err"]
+    assert err["sources"] == ["b"] and err["step"] == "mapping"
+
+
+def test_nonrecoverable_error_crashes_job(spark):
+    """The other half of ErrorEnabledDoFn.java:42-45: an error NOT accepted
+    by report_only must propagate and fail the job instead of silently
+    dead-lettering the corpus."""
+    df = spark.createDataFrame(
+        [("a", '{"bar": 1}'), ("b", "*** garbage ***")], "id string, data string"
+    )
+    res = apply_mapping(
+        df, TEST_CONFIG, backend="pandas", clock=CLOCK, report_only=lambda e: False
+    )
+    with pytest.raises(Exception) as ei:
+        res.collect()
+    assert "RecoverableMappingError" in str(ei.value)
