@@ -105,6 +105,34 @@ def q_mapping_transform(spark, sf_dir):
     return ok_rows(apply_mapping(inp, CFG)).select("id", F.col("ok").alias("output"))
 
 
+# extended Whistle subset: nested targets, builtins, array construction
+# (all projective -> columns/codegen backend)
+NESTED_CFG = """
+out Output: Nest(root);
+def Nest(input) {
+  meta.cat: $ToUpper(input.cat);
+  meta.sig: $Hash(input.k);
+  pair: [input.k, "x"];
+  tag: $StrCat(input.cat, "-", input.cat);
+}
+"""
+
+
+def q_mapping_nested(spark, sf_dir):
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("cat"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, NESTED_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_deadletter(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.concat(F.lit("e"), F.col("event_id")).alias("id"), F.col("props").alias("data")
@@ -369,6 +397,7 @@ def q_tablerow_json(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapping_transform": q_mapping_transform,
+        "mapping_nested": q_mapping_nested,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -416,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mapping_transform": f"""
             SELECT concat('e', event_id) AS id, {_MAPPED} AS output FROM events
+        """,
+        "mapping_nested": """
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"meta":{"cat":"', upper(event_type),
+                          '","sig":"', sha256(json_extract_string(props, '$.k')),
+                          '"},"pair":[', json_extract_string(props, '$.k'),
+                          ',"x"],"tag":"', event_type, '-', event_type,
+                          '"}]}') AS output
+            FROM events
         """,
         "mapping_deadletter": """
             SELECT concat('d', doc_id) AS id, 'mapping' AS step,

@@ -34,11 +34,14 @@ from ..model.errors import RecoverableMappingError
 from . import json_canon
 from .json_canon import _MISSING
 from .mapping_lang import (
+    Arr,
+    Builtin,
     Call,
     Lit,
     MappingConfig,
     MappingConfigError,
     Path,
+    nest_fields,
     parse_mapping_config,
 )
 
@@ -99,53 +102,153 @@ class CompiledMapping:
 
 
 # ------------------------------------------------------------------ internals
-# column backend: expr -> JValue (either a variant Column or a struct tree)
+# column backend: expr -> JValue, one of
+#   * a VARIANT Column (data-derived values and literals)
+#   * _StrCol        (a plain STRING Column — builtin results)
+#   * _StructVal     (a statically-known object tree — projector results)
 
 
 class _StructVal:
-    def __init__(self, fields: list[tuple[str, Any]]):
-        self.fields = fields
+    def __init__(self, tree: dict):
+        self.tree = tree  # name -> ('leaf', JValue) | ('node', subtree)
 
 
-def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Column]):
+class _StrCol:
+    def __init__(self, col: Column):
+        self.col = col
+
+
+def _null_variant() -> Column:
+    return F.lit(None).cast("variant")
+
+
+def _str_form(jv) -> Column:
+    """The JSON-scalar string form of a value (builtin argument coercion).
+    Objects/arrays yield NULL (builtins are scalar functions; the python
+    backend mirrors this by returning _MISSING for non-scalars)."""
+    if isinstance(jv, _StrCol):
+        return jv.col
+    if isinstance(jv, _StructVal):
+        raise MappingConfigError(
+            "column backend: projector result is not a scalar builtin argument"
+        )
+    return F.try_variant_get(jv, "$", "string")
+
+
+def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
     if isinstance(expr, Lit):
         return F.parse_json(F.lit(json_canon.dumps(expr.value)))
     if isinstance(expr, Path):
         base = env[expr.var]
-        if not expr.parts:
+        parts = list(expr.parts)
+        # static navigation through projector results (_StructVal): resolve
+        # field names at compile time until we bottom out in a leaf value
+        while parts and isinstance(base, _StructVal):
+            p = parts.pop(0)
+            entry = base.tree.get(p) if isinstance(p, str) else None
+            if entry is None:
+                return _null_variant()
+            kind, val = entry
+            base = _StructVal(val) if kind == "node" else val
+        if isinstance(base, _StrCol):
+            return base if not parts else _null_variant()
+        if isinstance(base, _StructVal):
+            return base
+        if not parts:
             return base
         path = "$" + "".join(
-            f"[{p}]" if isinstance(p, int) else f".{p}" for p in expr.parts
+            f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
         )
         return F.try_variant_get(base, path, "variant")
     if isinstance(expr, Call):
         proj = cfg.projectors[expr.name]
         args = [_compile_expr(cfg, a, env) for a in expr.args]
-        for a in args:
-            if isinstance(a, _StructVal):
-                raise MappingConfigError(
-                    "column backend: projector result passed as argument is not projective"
-                )
         penv = dict(zip(proj.params, args))
-        return _StructVal([(fname, _compile_expr(cfg, fexpr, penv)) for fname, fexpr in proj.fields])
+        return _compile_tree(cfg, nest_fields(proj.fields), penv)
+    if isinstance(expr, Builtin):
+        args = [_compile_expr(cfg, a, env) for a in expr.args]
+        if expr.name == "$ToUpper":
+            return _StrCol(F.upper(_str_form(args[0])))
+        if expr.name == "$ToLower":
+            return _StrCol(F.lower(_str_form(args[0])))
+        if expr.name == "$StrCat":
+            return _StrCol(F.concat(*[_str_form(a) for a in args]))
+        if expr.name == "$Hash":
+            # sha256 over the value's canonical JSON rendering; restricted to
+            # data-derived (variant) args in this backend — the pandas backend
+            # handles the general case identically via json_canon.dumps
+            if not isinstance(args[0], Column):
+                raise MappingConfigError(
+                    "column backend: $Hash argument must be a data value"
+                )
+            return _StrCol(F.sha2(F.to_json(args[0]), 256))
+        raise MappingConfigError(f"column backend cannot compile {expr!r}")
+    if isinstance(expr, Arr):
+        items = [_compile_expr(cfg, it, env) for it in expr.items]
+        kinds = {
+            "struct" if isinstance(i, _StructVal) else "str" if isinstance(i, _StrCol) else "variant"
+            for i in items
+        }
+        if not items:
+            return F.array().cast("array<variant>")
+        if kinds == {"variant"}:
+            return F.array(*items).cast("array<variant>")
+        if kinds == {"str"}:
+            return _StrArr([i.col for i in items])
+        raise MappingConfigError(
+            "column backend: array elements must be uniformly data values or strings"
+        )
     raise MappingConfigError(f"column backend cannot compile {expr!r}")
+
+
+class _StrArr:
+    def __init__(self, cols: list[Column]):
+        self.cols = cols
+
+
+def _compile_tree(cfg: MappingConfig, tree: dict, env: dict[str, Any]) -> "_StructVal":
+    out: dict = {}
+    for name, (kind, val) in tree.items():
+        if kind == "node":
+            out[name] = ("node", _compile_tree(cfg, val, env).tree)
+        else:
+            out[name] = ("leaf", _compile_expr(cfg, val, env))
+    return _StructVal(out)
 
 
 def _render(jv) -> Column:
     if isinstance(jv, _StructVal):
-        if not jv.fields:
+        if not jv.tree:
             raise MappingConfigError("column backend: empty projector not supported")
         cols = []
-        for name, sub in jv.fields:
-            cols.extend([F.lit(name), _render(sub)])
+        for name, (kind, val) in jv.tree.items():
+            sub = _render(_StructVal(val)) if kind == "node" else _render(val)
+            cols.extend([F.lit(name), sub])
         return F.named_struct(*cols)
+    if isinstance(jv, _StrCol):
+        return jv.col
+    if isinstance(jv, _StrArr):
+        return F.array(*jv.cols)
     return jv  # variant Column
 
 
 # python backend: AST -> closure
 
 
+def _scalar_str(v):
+    """Python analogue of the column backend's variant->string coercion:
+    strings pass through, scalars use their JSON form, objects/arrays and
+    null yield _MISSING (try_variant_get string cast returns NULL)."""
+    if v is _MISSING or v is None or isinstance(v, (dict, list)):
+        return _MISSING
+    if isinstance(v, str):
+        return v
+    return json_canon.dumps(v)
+
+
 def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
+    import hashlib
+
     def eval_expr(expr, env):
         if isinstance(expr, Lit):
             return expr.value
@@ -168,12 +271,48 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             proj = cfg.projectors[expr.name]
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
-            return {
-                fname: val
-                for fname, fexpr in proj.fields
-                if (val := eval_expr(fexpr, penv)) is not _MISSING
-            }
+            return eval_tree(nest_fields(proj.fields), penv)
+        if isinstance(expr, Builtin):
+            vals = [eval_expr(a, env) for a in expr.args]
+            if expr.name == "$Hash":
+                v = vals[0]
+                if v is _MISSING:
+                    return _MISSING  # missing path: sha2(NULL) is NULL
+                # a JSON null VALUE hashes its rendering 'null' (the column
+                # backend's to_json(variant-null) -> 'null'), distinct from a
+                # missing path
+                return hashlib.sha256(
+                    json_canon.dumps(json_canon.canon_sort(v)).encode()
+                ).hexdigest()
+            forms = [_scalar_str(v) for v in vals]
+            if any(f is _MISSING for f in forms):
+                return _MISSING  # column concat/upper null-propagate
+            if expr.name == "$ToUpper":
+                return forms[0].upper()
+            if expr.name == "$ToLower":
+                return forms[0].lower()
+            if expr.name == "$StrCat":
+                return "".join(forms)
+            raise MappingConfigError(f"cannot evaluate {expr!r}")
+        if isinstance(expr, Arr):
+            # a missing element keeps its POSITION as JSON null (arrays keep
+            # null elements in to_json, unlike struct fields)
+            return [
+                None if (v := eval_expr(it, env)) is _MISSING else v
+                for it in expr.items
+            ]
         raise MappingConfigError(f"cannot evaluate {expr!r}")
+
+    def eval_tree(tree: dict, env) -> dict:
+        out: dict = {}
+        for name, (kind, val) in tree.items():
+            if kind == "node":
+                out[name] = eval_tree(val, env)
+            else:
+                v = eval_expr(val, env)
+                if v is not _MISSING:
+                    out[name] = v
+        return out
 
     def run(root_obj) -> dict:
         out: dict[str, list] = {}

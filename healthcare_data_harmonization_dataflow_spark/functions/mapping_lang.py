@@ -9,9 +9,14 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
 
 * ``out <Target>: <expr>;``            — append expr value to output[Target]
 * ``def <Name>(<params>) { field: expr; ... }``   — projector definition
+* nested target fields inside projectors (``meta.cat: expr;``) — built as
+  nested objects, insertion-ordered, conflicts rejected at compile time
 * expressions: dotted paths (``input.bar.baz``), array element access
   (``input.items[0].name``), string/number/bool/null literals, projector
-  calls (``Test(root)``), ``root`` = whole input
+  calls (``Test(root)``, whose results may themselves be arguments to other
+  projectors), array construction (``[a, b, c]`` — a missing element
+  renders as JSON null, preserving positions), builtin calls
+  (``$ToUpper/$ToLower/$StrCat/$Hash``), ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -50,10 +55,54 @@ class Call:
 
 
 @dataclass(frozen=True)
+class Builtin:
+    name: str  # '$ToUpper' | '$ToLower' | '$StrCat' | '$Hash'
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Arr:
+    items: tuple
+
+
+# builtin name -> (min_arity, max_arity or None = unbounded)
+BUILTINS: dict[str, tuple[int, int | None]] = {
+    "$ToUpper": (1, 1),
+    "$ToLower": (1, 1),
+    "$StrCat": (1, None),
+    "$Hash": (1, 1),
+}
+
+
+@dataclass(frozen=True)
 class Projector:
     name: str
     params: tuple[str, ...]
-    fields: tuple[tuple[str, object], ...]  # (target_field, expr)
+    fields: tuple[tuple[tuple[str, ...], object], ...]  # (target_path, expr)
+
+
+def nest_fields(fields) -> dict:
+    """Fold a projector's (target_path, expr) list into an insertion-ordered
+    nested tree: name -> ('leaf', expr) | ('node', subtree). Raises
+    MappingConfigError on duplicate or leaf-vs-prefix conflicts."""
+    root: dict = {}
+    for path, expr in fields:
+        cur = root
+        for seg in path[:-1]:
+            entry = cur.get(seg)
+            if entry is None:
+                entry = ("node", {})
+                cur[seg] = entry
+            elif entry[0] != "node":
+                raise MappingConfigError(
+                    f"target '{'.'.join(path)}' conflicts with earlier leaf '{seg}'"
+                )
+            cur = entry[1]
+        last = path[-1]
+        if last in cur:
+            raise MappingConfigError(f"duplicate target field '{'.'.join(path)}'")
+        cur[last] = ("leaf", expr)
+    return root
 
 
 @dataclass
@@ -85,8 +134,25 @@ class MappingConfig:
                 )
             for a in expr.args:
                 self._check(a, bound)
+            nest_fields(proj.fields)  # nested-target conflicts fail at compile
             for _, fexpr in proj.fields:
                 self._check(fexpr, bound=proj.params)
+            return
+        if isinstance(expr, Builtin):
+            spec = BUILTINS.get(expr.name)
+            if spec is None:
+                raise MappingConfigError(f"unknown builtin '{expr.name}'")
+            lo, hi = spec
+            if len(expr.args) < lo or (hi is not None and len(expr.args) > hi):
+                raise MappingConfigError(
+                    f"builtin '{expr.name}' arity mismatch: got {len(expr.args)}"
+                )
+            for a in expr.args:
+                self._check(a, bound)
+            return
+        if isinstance(expr, Arr):
+            for it in expr.items:
+                self._check(it, bound)
             return
         raise MappingConfigError(f"unsupported expression node: {expr!r}")
 
@@ -97,7 +163,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?)
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>[$]?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<punct>[{}();:,.\[\]])
     """,
     re.VERBOSE,
@@ -160,11 +226,14 @@ class _Parser:
                 self.expect(value="{")
                 fields = []
                 while self.peek()[1] != "}":
-                    fname = self.expect("ident")
+                    fpath = [self.expect("ident")]
+                    while self.peek()[1] == ".":
+                        self.next()
+                        fpath.append(self.expect("ident"))
                     self.expect(value=":")
                     fexpr = self.parse_expr()
                     self.expect(value=";")
-                    fields.append((fname, fexpr))
+                    fields.append((tuple(fpath), fexpr))
                 self.expect(value="}")
                 cfg.projectors[name] = Projector(name, tuple(params), tuple(fields))
             elif k == "ident" and v == "root_mapping":
@@ -200,7 +269,7 @@ class _Parser:
             raise MappingConfigError("root_mapping needs value_source.from_source and target_object")
         return target, src
 
-    # expr := literal | call | path
+    # expr := literal | array | builtin | call | path
     def parse_expr(self):
         k, v = self.peek()
         if k == "string":
@@ -209,6 +278,16 @@ class _Parser:
         if k == "number":
             self.next()
             return Lit(float(v) if "." in v else int(v))
+        if k == "punct" and v == "[":  # array construction
+            self.next()
+            items = []
+            if self.peek()[1] != "]":
+                items.append(self.parse_expr())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.parse_expr())
+            self.expect(value="]")
+            return Arr(tuple(items))
         if k == "ident":
             if v in ("true", "false"):
                 self.next()
@@ -217,6 +296,16 @@ class _Parser:
                 self.next()
                 return Lit(None)
             self.next()
+            if v.startswith("$"):  # builtin call
+                self.expect(value="(")
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_expr())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect(value=")")
+                return Builtin(v, tuple(args))
             if self.peek()[1] == "(":  # projector call
                 self.next()
                 args = []

@@ -1,0 +1,175 @@
+"""Mapping-config providers: load a config from a path/URI with import-root
+support.
+
+Re-expression of the reference's provider package
+(MappingConfigProvider.java:9-18, LocalMappingConfigProvider.java:12-24,
+GcsMappingConfigProvider.java:18-57, MappingConfigProviderFactory.java:9-15):
+
+* the factory picks a provider by URI scheme (``gs://`` there; any
+  Hadoop-known scheme here — ``hdfs://``, ``s3a://``, ``gs://``,
+  ``file://`` — via Spark's Hadoop FileSystem, else a plain local file);
+* the provider caches the config bytes and re-reads only on ``force``
+  (GcsMappingConfigProvider.java:35);
+* ``import_root`` names a directory tree of library configs. The reference
+  mirrors the whole tree to local disk so the Whistle engine can resolve
+  imports (GcsMappingConfigProvider.java:40-52); here the provider resolves
+  ``import "relative/path";`` statements itself by splicing the imported
+  file's text (cycle-safe, root-escape rejected), so the COMPILED config is
+  self-contained and ships to executors inside the task closure — no
+  executor-side file access (the SparkContext.addFile analogue, without the
+  per-executor read).
+
+Fail-fast contract (MappingFn.java:194-202): a missing/unreadable config
+path raises before any data flows.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+from ..functions.mapping_lang import MappingConfigError
+
+_IMPORT_RE = re.compile(r'^\s*import\s+"([^"]+)"\s*;\s*$', re.MULTILINE)
+
+
+class MappingConfigProvider:
+    """Loads mapping-config text; caches until ``force``
+    (MappingConfigProvider.java:9-18)."""
+
+    def __init__(self) -> None:
+        self._cached: Optional[str] = None
+
+    def get_mapping_config(self, force: bool = False, import_root: str = "") -> str:
+        if force or self._cached is None:
+            text = self._read_main()
+            self._cached = resolve_imports(
+                text, import_root, read_file=self._read_import
+            )
+        return self._cached
+
+    # subclass hooks ------------------------------------------------------
+    def _read_main(self) -> str:
+        raise NotImplementedError
+
+    def _read_import(self, import_root: str, rel: str) -> str:
+        raise NotImplementedError
+
+
+class LocalMappingConfigProvider(MappingConfigProvider):
+    """Local-file provider (LocalMappingConfigProvider.java:12-24)."""
+
+    def __init__(self, path: str):
+        super().__init__()
+        self.path = path
+
+    def _read_main(self) -> str:
+        with open(self.path, encoding="utf-8") as f:
+            return f.read()
+
+    def _read_import(self, import_root: str, rel: str) -> str:
+        with open(os.path.join(import_root, rel), encoding="utf-8") as f:
+            return f.read()
+
+
+class HadoopFsMappingConfigProvider(MappingConfigProvider):
+    """Any-scheme provider over Spark's Hadoop FileSystem — the GCS provider
+    analogue (GcsMappingConfigProvider.java:18-57) generalized to every
+    filesystem the cluster already speaks (hdfs://, s3a://, gs://, file://).
+    Runs on the driver only; the resolved text ships in task closures."""
+
+    def __init__(self, uri: str, spark):
+        super().__init__()
+        self.uri = uri
+        self._spark = spark
+
+    def _read_hadoop(self, uri: str) -> str:
+        jvm = self._spark._jvm
+        conf = self._spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            raise FileNotFoundError(f"mapping config not found: {uri}")
+        stream = fs.open(path)
+        try:
+            out = bytearray()
+            buf = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = buf.readLine()
+            first = True
+            while line is not None:
+                if not first:
+                    out.extend(b"\n")
+                out.extend(line.encode("utf-8"))
+                first = False
+                line = buf.readLine()
+            return out.decode("utf-8")
+        finally:
+            stream.close()
+
+    def _read_main(self) -> str:
+        return self._read_hadoop(self.uri)
+
+    def _read_import(self, import_root: str, rel: str) -> str:
+        root = import_root.rstrip("/")
+        return self._read_hadoop(f"{root}/{rel}")
+
+
+def resolve_imports(text: str, import_root: str, read_file) -> str:
+    """Splice ``import "relative/path";`` statements with the referenced
+    file's text, recursively, mirroring the reference's importRoot tree
+    download (GcsMappingConfigProvider.java:40-52). Cycles and paths that
+    escape the import root fail fast."""
+    if not _IMPORT_RE.search(text):
+        return text
+    if not import_root:
+        # GcsMappingConfigProvider.java:37: imports present but no root
+        raise MappingConfigError(
+            "config contains import statements; re-run with an import_root"
+        )
+
+    seen: set[str] = set()
+
+    def resolve(t: str) -> str:
+        def splice(m: re.Match) -> str:
+            rel = m.group(1)
+            norm = os.path.normpath(rel)
+            if norm.startswith("..") or os.path.isabs(norm):
+                raise MappingConfigError(f"import escapes import_root: {rel!r}")
+            if norm in seen:
+                # a second import of the same file would duplicate its
+                # projector definitions; a cycle would never terminate
+                raise MappingConfigError(f"duplicate or cyclic import {rel!r}")
+            seen.add(norm)
+            try:
+                imported = read_file(import_root, norm)
+            except FileNotFoundError:
+                raise MappingConfigError(
+                    f"imported config not found under import_root: {rel!r}"
+                ) from None
+            return resolve(imported)
+
+        return _IMPORT_RE.sub(splice, t)
+
+    return resolve(text)
+
+
+def create_provider(path: str, spark=None) -> MappingConfigProvider:
+    """Scheme-based factory (MappingConfigProviderFactory.java:9-15)."""
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"a SparkSession is required to read {path!r} via the Hadoop filesystem"
+            )
+        return HadoopFsMappingConfigProvider(path, spark)
+    return LocalMappingConfigProvider(path)
+
+
+def load_mapping_config(
+    path: str, import_root: str = "", spark=None, force: bool = False
+) -> str:
+    """One-call load: factory + read + import resolution -> config text
+    ready for ``compile_mapping``/``apply_mapping``."""
+    return create_provider(path, spark).get_mapping_config(
+        force=force, import_root=import_root
+    )

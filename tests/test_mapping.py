@@ -251,3 +251,62 @@ def test_nonrecoverable_error_crashes_job(spark):
     with pytest.raises(Exception) as ei:
         res.collect()
     assert "RecoverableMappingError" in str(ei.value)
+
+
+# ------------------------------------- extended Whistle subset (round 2)
+NESTED_CONFIG = """
+out Output: Nest(root);
+def Nest(input) {
+  meta.cat: $ToUpper(input.cat);
+  meta.sig: $Hash(input.k);
+  pair: [input.k, "x", input.nope];
+  tag: $StrCat(input.cat, "-suffix");
+  lower: $ToLower($ToUpper(input.cat));
+}
+"""
+
+CHAINED_CONFIG = """
+out Output: Outer(Inner(root));
+def Inner(input) { a.b: input.k; s: $ToUpper(input.cat); }
+def Outer(x) { picked: x.a.b; up: x.s; gone: x.zzz; whole: x.a; }
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_nested_targets_builtins_arrays_golden(spark, backend):
+    """Nested target fields, $ToUpper/$ToLower/$StrCat/$Hash, array
+    construction with positional nulls — byte-identical on both backends.
+    sha256('69') pinned so the golden breaks if $Hash's rendering drifts."""
+    df = spark.createDataFrame(
+        [("a", '{"cat":"click","k":69}')], "id string, data string"
+    )
+    res = ok_rows(apply_mapping(df, NESTED_CONFIG, backend=backend, clock=CLOCK))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"meta":{"cat":"CLICK","sig":'
+        '"c75cb66ae28d8ebc6eded002c28a8ba0d06d3a78c6b5cbf9b2ade051f0775ac4"},'
+        '"pair":[69,"x",null],"tag":"click-suffix","lower":"click"}]}'
+    )
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_projector_result_as_argument(spark, backend):
+    """A projector result flows into another projector; field access into it
+    resolves statically in the column backend, dynamically in pandas —
+    identical output, including omission of a missing field."""
+    df = spark.createDataFrame([("a", '{"cat":"go","k":7}')], "id string, data string")
+    res = ok_rows(apply_mapping(df, CHAINED_CONFIG, backend=backend, clock=CLOCK))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"picked":7,"up":"GO","whole":{"b":7}}]}'
+    )
+
+
+def test_extended_config_compile_errors():
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out X: $Nope(root);")  # unknown builtin
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out X: $ToUpper(root, root);")  # arity
+    with pytest.raises(MappingConfigError):
+        # leaf/prefix conflict on nested targets
+        compile_mapping("out O: P(root);\ndef P(i) { a: i.x; a.b: i.y; }")
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out O: P(root);\ndef P(i) { a.b: i.x; a.b: i.y; }")

@@ -1,0 +1,95 @@
+"""Mapping-config provider tests: factory, caching, import resolution,
+fail-fast, and an e2e pipeline drive from a config file on disk — the
+contract of MappingConfigProviderFactory.java / GcsMappingConfigProvider.java
+/ LocalMappingConfigProvider.java and MappingFn.java:194-202 (fail fast)."""
+
+import os
+
+import pytest
+
+from healthcare_data_harmonization_dataflow_spark.functions.mapping_lang import (
+    MappingConfigError,
+)
+from healthcare_data_harmonization_dataflow_spark.model.errors import ok_rows
+from healthcare_data_harmonization_dataflow_spark.operators.mapping_op import (
+    apply_mapping,
+)
+from healthcare_data_harmonization_dataflow_spark.provider.mapping import (
+    HadoopFsMappingConfigProvider,
+    LocalMappingConfigProvider,
+    create_provider,
+    load_mapping_config,
+)
+
+MAIN = 'import "lib/common.wstl";\nout Output: Common(root);\n'
+LIB = "def Common(input) { foo: input.bar; }\n"
+
+
+@pytest.fixture
+def config_tree(tmp_path):
+    (tmp_path / "lib").mkdir()
+    (tmp_path / "main.wstl").write_text(MAIN)
+    (tmp_path / "lib" / "common.wstl").write_text(LIB)
+    return tmp_path
+
+
+def test_factory_picks_by_scheme(spark):
+    assert isinstance(create_provider("/x/y.wstl"), LocalMappingConfigProvider)
+    assert isinstance(
+        create_provider("file:///x/y.wstl", spark), HadoopFsMappingConfigProvider
+    )
+    with pytest.raises(ValueError):
+        create_provider("hdfs://nn/x.wstl")  # URI without a session
+
+
+def test_missing_config_fails_fast():
+    with pytest.raises(FileNotFoundError):
+        load_mapping_config("/nonexistent/cfg.wstl")
+
+
+def test_import_resolution_and_caching(config_tree):
+    prov = create_provider(str(config_tree / "main.wstl"))
+    text = prov.get_mapping_config(import_root=str(config_tree))
+    assert "def Common" in text and "import" not in text
+    # cached: mutate the file, same text until force
+    (config_tree / "main.wstl").write_text("out Output: Common(root);\n" + LIB)
+    assert prov.get_mapping_config(import_root=str(config_tree)) == text
+    assert prov.get_mapping_config(force=True, import_root=str(config_tree)) != text
+
+
+def test_import_requires_root_and_rejects_escape(config_tree):
+    with pytest.raises(MappingConfigError, match="import_root"):
+        load_mapping_config(str(config_tree / "main.wstl"))
+    (config_tree / "evil.wstl").write_text('import "../secret";\nout O: P(root);\n')
+    with pytest.raises(MappingConfigError, match="escapes"):
+        load_mapping_config(str(config_tree / "evil.wstl"), import_root=str(config_tree))
+    (config_tree / "cyc.wstl").write_text('import "cyc.wstl";\n')
+    with pytest.raises(MappingConfigError, match="cyclic"):
+        load_mapping_config(str(config_tree / "cyc.wstl"), import_root=str(config_tree))
+    (config_tree / "gone.wstl").write_text('import "nope.wstl";\n')
+    with pytest.raises(MappingConfigError, match="not found"):
+        load_mapping_config(str(config_tree / "gone.wstl"), import_root=str(config_tree))
+
+
+def test_hadoop_fs_provider_file_scheme(spark, config_tree):
+    """The any-scheme provider read through the Hadoop FileSystem API —
+    exercised with file:// here; the same code path serves hdfs/s3a/gs."""
+    uri = "file://" + str(config_tree / "main.wstl")
+    text = load_mapping_config(
+        uri, import_root="file://" + str(config_tree), spark=spark
+    )
+    assert "def Common" in text and "import" not in text
+    with pytest.raises(FileNotFoundError):
+        load_mapping_config("file:///nonexistent/cfg.wstl", spark=spark)
+
+
+def test_e2e_pipeline_from_config_file(spark, config_tree):
+    """Drive the mapping operator end-to-end from a config FILE with an
+    import-root tree, mirroring the reference's --mappingPath/--importRoot
+    flags (Hl7v2ToFhirStreamingRunner options)."""
+    cfg = load_mapping_config(
+        str(config_tree / "main.wstl"), import_root=str(config_tree)
+    )
+    df = spark.createDataFrame([("a", '{"bar":"test"}')], "id string, data string")
+    res = ok_rows(apply_mapping(df, cfg))
+    assert res.collect()[0]["ok"] == '{"Output":[{"foo":"test"}]}'
