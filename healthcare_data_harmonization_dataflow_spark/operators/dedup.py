@@ -309,24 +309,43 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
-    strategy: str = "profile",
+    strategy: str = "auto",
+    profile_cap: int = 10_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over distinct-token sets.
 
-    Two exact strategies, picked by data shape:
+    Two exact strategies (identical output — both are exact):
 
-    * ``"profile"`` (default): collapse documents to distinct token-SET
-      profiles first, compare profiles, expand back to doc pairs. See
+    * ``"profile"``: collapse documents to distinct token-SET profiles
+      first, compare profiles all-pairs, expand back to doc pairs. See
       :func:`_ngram_jaccard_profile`. Wins when duplicates/templates are
       common (real crawl corpora: exact-dup collapse is the single biggest
-      reducer) and degrades to the prefix path's cost only when every doc
-      has a unique token set.
-    * ``"prefix"``: PPJoin-style prefix-filtered inverted index — wins on
+      reducer) — but its profile comparison is an O(P^2) broadcast
+      nested-loop, a scale hazard when profiles don't collapse (diverse
+      corpus: P ~ N).
+    * ``"prefix"``: PPJoin-style prefix-filtered inverted index — scales on
       diverse corpora with large vocabularies where few docs share rare
       tokens. See :func:`_ngram_jaccard_prefix`.
+
+    ``"auto"`` (default) probes the collapse factor with one cheap
+    map-side-partial pass (HLL over a hash of each doc's sorted token set —
+    the profile identity, computable without the top-64 dictionary) and
+    picks ``profile`` only when the estimated distinct-profile count fits
+    ``profile_cap`` — bounding both the broadcast size and the P^2 work.
+    One extra O(N) pass to dodge an O(N^2) mistake.
     """
+    if strategy == "auto":
+        wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws")).filter(
+            F.size("ws") > 0
+        )
+        p_est = wordsets.agg(
+            F.approx_count_distinct(F.md5(F.concat_ws("\x1f", "ws"))).alias("p")
+        ).first()["p"]
+        strategy = "profile" if p_est <= profile_cap else "prefix"
     if strategy == "profile":
         return _ngram_jaccard_profile(docs, threshold, id_col)
+    if strategy != "prefix":
+        raise ValueError(f"unknown ngram-jaccard strategy {strategy!r}")
     return _ngram_jaccard_prefix(docs, threshold, id_col)
 
 

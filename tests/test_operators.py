@@ -248,3 +248,28 @@ def test_lsh_rejects_wrong_dimension(spark):
     assert "dimension" in str(ei.value)
     with pytest.raises(Exception):
         S.lsh_bucket(bad).collect()
+
+
+def test_ngram_jaccard_auto_selects_by_collapse(spark, sf_dir):
+    """auto must choose the O(P^2) broadcast profile path only when profiles
+    collapse under the cap, and fall back to the PPJoin prefix path on a
+    diverse corpus — observable in the physical plan (the profile path ends
+    in a BroadcastNestedLoopJoin; prefix does not)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    collapsing = plan_of(D.ngram_jaccard_pairs(docs, 0.5, strategy="auto"))
+    assert "BroadcastNestedLoopJoin" in collapsing
+
+    forced_diverse = plan_of(
+        D.ngram_jaccard_pairs(docs, 0.5, strategy="auto", profile_cap=1)
+    )
+    assert "BroadcastNestedLoopJoin" not in forced_diverse
+
+    # both strategies must return the same exact result regardless of choice
+    auto = D.ngram_jaccard_pairs(docs, 0.5, strategy="auto", profile_cap=1)
+    pref = D.ngram_jaccard_pairs(docs, 0.5, strategy="prefix")
+    assert auto.exceptAll(pref).count() == 0
+    assert pref.exceptAll(auto).count() == 0
