@@ -20,13 +20,14 @@ once-per-JVM synchronized init).
 
 from __future__ import annotations
 
+import time
 import traceback
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions.mapping_compile import CompiledMapping, compile_mapping
 from ..model.errors import (
@@ -57,6 +58,7 @@ def apply_mapping(
     step: str = STEP_MAPPING,
     clock: str | None = None,
     report_only: Callable[[Exception], bool] | None = None,
+    measure_latency: bool = False,
 ) -> DataFrame:
     """Return ``df`` + columns ``ok`` (string) and ``err`` (ErrorEntry).
 
@@ -77,10 +79,18 @@ def apply_mapping(
     """
     if report_only is None:
         report_only = lambda e: isinstance(e, RecoverableMappingError)  # noqa: E731
+
     mapping = compile_mapping(config_text)  # fail-fast on bad config
 
     if backend == "auto":
         backend = "columns" if mapping.supports_columns() else "pandas"
+    if measure_latency:
+        # the per-element transform Distribution (MappingFn.java:53-54,
+        # 203-209) needs a per-element clock, which only the Arrow/pandas
+        # path has — inside whole-stage codegen there is no per-row timer.
+        # Callers opting into the reference's enablePerformanceMetrics
+        # trade the codegen fast path for per-element observability.
+        backend = "pandas"
 
     if backend == "columns":
         # parse ONCE into a materialized variant column; ok/err both read it.
@@ -117,15 +127,17 @@ def apply_mapping(
     if backend != "pandas":
         raise ValueError(f"unknown backend {backend!r}")
 
-    result_schema = StructType(
-        [StructField("ok", StringType()), StructField("err", ERROR_ENTRY_SCHEMA)]
-    )
+    fields = [StructField("ok", StringType()), StructField("err", ERROR_ENTRY_SCHEMA)]
+    if measure_latency:
+        fields.append(StructField("lat_us", LongType()))
+    result_schema = StructType(fields)
 
     @F.pandas_udf(result_schema)
     def map_batch(ids: pd.Series, datas: pd.Series) -> pd.DataFrame:
         eng = _engine(config_text)
         oks: list[str | None] = []
         errs: list[dict | None] = []
+        lats: list[int | None] = []
         ts = clock  # fixed clock or per-batch now
         if ts is None:
             ts = pd.Timestamp.utcnow().strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
@@ -133,13 +145,20 @@ def apply_mapping(
             try:
                 if data is None:
                     raise RecoverableMappingError("invalid input JSON: <null>")
-                oks.append(eng.transform(data))
+                # the transform Distribution measures the engine call only
+                # (runAndReportMetrics, MappingFn.java:203-209); a throwing
+                # element records no latency, like the reference
+                t0 = time.perf_counter_ns() if measure_latency else 0
+                out = eng.transform(data)
+                lats.append((time.perf_counter_ns() - t0) // 1000 if measure_latency else None)
+                oks.append(out)
                 errs.append(None)
             except Exception as e:
                 # Always dead-letter the element (the reference outputs the
                 # ErrorEntry BEFORE deciding to rethrow,
                 # ErrorEnabledDoFn.java:36-45)...
                 oks.append(None)
+                lats.append(None)
                 errs.append(
                     {
                         "error_resource": None,
@@ -154,9 +173,13 @@ def apply_mapping(
                 # (ErrorEnabledDoFn.java:42-45, :75-77).
                 if not report_only(e):
                     raise
-        return pd.DataFrame({"ok": oks, "err": errs})
+        res = {"ok": oks, "err": errs}
+        if measure_latency:
+            res["lat_us"] = lats
+        return pd.DataFrame(res)
 
     res = df.withColumn("_mapres", map_batch(F.col(id_col), F.col(data_col)))
-    return res.withColumn("ok", F.col("_mapres.ok")).withColumn("err", F.col("_mapres.err")).drop(
-        "_mapres"
-    )
+    res = res.withColumn("ok", F.col("_mapres.ok")).withColumn("err", F.col("_mapres.err"))
+    if measure_latency:
+        res = res.withColumn("_lat_us", F.col("_mapres.lat_us"))
+    return res.drop("_mapres")

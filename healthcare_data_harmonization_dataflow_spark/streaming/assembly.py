@@ -67,8 +67,32 @@ STATE_SCHEMA = StructType(
     # per-element Arrow<->Python struct conversion on every micro-batch —
     # the dominant cost for a hot conversation whose open session holds
     # thousands of turns.
+    #
+    # NOTE this state layout is INCOMPATIBLE with checkpoints written by the
+    # array<struct> layout of earlier builds — resume those with the old
+    # code or reprocess. The blob carries a leading version byte so a future
+    # format change is detected explicitly instead of failing inside
+    # pickle.loads.
     [StructField("turns_blob", BinaryType()), StructField("max_ts_us", LongType())]
 )
+
+_STATE_VERSION = 1
+
+
+def _pack_turns(turns: list) -> bytes:
+    return bytes([_STATE_VERSION]) + pickle.dumps(
+        turns, protocol=pickle.HIGHEST_PROTOCOL
+    )
+
+
+def _unpack_turns(blob: bytes) -> list:
+    if not blob or blob[0] != _STATE_VERSION:
+        raise ValueError(
+            f"incompatible session-state blob (version {blob[0] if blob else 'empty'}, "
+            f"expected {_STATE_VERSION}): the checkpoint was written by a "
+            "different engine build — resume it with that build or reprocess"
+        )
+    return pickle.loads(blob[1:])
 
 
 def _render_bundle(turns: list) -> str:
@@ -128,7 +152,7 @@ def _assemble(
 
     if state.hasTimedOut:
         (blob, _) = state.get
-        turns = pickle.loads(blob)
+        turns = _unpack_turns(blob)
         rows = [
             _bundle_row(key, c, gap_seconds)
             for s in _split_sessions(turns, gap_us)
@@ -143,7 +167,7 @@ def _assemble(
     turns: list[Any] = []
     if state.exists:
         (blob, _) = state.get
-        turns = pickle.loads(blob)
+        turns = _unpack_turns(blob)
     for pdf in pdfs:
         # Vectorized ingestion: numpy column extraction + one C-level zip —
         # no per-row Python (input_hint: pandas/Arrow batch fns throughout).
@@ -178,7 +202,7 @@ def _assemble(
     if open_sessions:
         remaining = [t for s in open_sessions for t in s]
         max_ts_us = max(t[3] for t in remaining)
-        state.update((pickle.dumps(remaining, protocol=pickle.HIGHEST_PROTOCOL), max_ts_us))
+        state.update((_pack_turns(remaining), max_ts_us))
         # event-time timeout: final flush when the watermark passes last+gap
         # (must be strictly later than the current watermark in ms)
         state.setTimeoutTimestamp(

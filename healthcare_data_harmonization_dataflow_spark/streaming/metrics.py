@@ -27,13 +27,31 @@ from pyspark.sql.streaming.listener import StreamingQueryListener
 
 def observe_mapping(df: DataFrame, name: str = "mapping_metrics") -> DataFrame:
     """Attach counters to a mapping-operator output (ok/err columns):
-    total, ok, err counts — readable per-batch from QueryProgress."""
-    return df.observe(
-        name,
+    total, ok, err counts — readable per-batch from QueryProgress.
+
+    When the operator ran with ``measure_latency`` (the reference's
+    enablePerformanceMetrics) the ``_lat_us`` per-element column is present:
+    the observation then also carries the transform-latency Distribution —
+    min/avg/max and p50/p95/p99 percentiles per batch, the analogue of the
+    Beam ``Distribution`` in MappingFn.java:53-54/205-210 — and the column
+    is dropped after observation so it never reaches sinks."""
+    aggs = [
         F.count(F.lit(1)).alias("rows_total"),
         F.count(F.col("ok")).alias("rows_ok"),
         F.count(F.col("err")).alias("rows_err"),
-    )
+    ]
+    has_latency = "_lat_us" in df.columns
+    if has_latency:
+        aggs += [
+            F.min("_lat_us").alias("lat_min_us"),
+            F.avg("_lat_us").alias("lat_avg_us"),
+            F.max("_lat_us").alias("lat_max_us"),
+            F.percentile_approx("_lat_us", 0.5).alias("lat_p50_us"),
+            F.percentile_approx("_lat_us", 0.95).alias("lat_p95_us"),
+            F.percentile_approx("_lat_us", 0.99).alias("lat_p99_us"),
+        ]
+    out = df.observe(name, *aggs)
+    return out.drop("_lat_us") if has_latency else out
 
 
 class MetricsListener(StreamingQueryListener):

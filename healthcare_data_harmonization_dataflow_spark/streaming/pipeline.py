@@ -46,6 +46,9 @@ class HarmonizationPipeline:
     max_files_per_trigger: int | None = None  # None = let availableNow take everything
     assembly: str = "state_v1"  # "state_v1" (applyInPandasWithState) | "tws" (transformWithState)
     max_turns_per_bundle: int | None = None  # bundle-size cap (hot-conv chunking)
+    # the reference's --enablePerformanceMetrics: per-element transform
+    # latency Distribution (forces the Arrow/pandas mapping backend)
+    enable_performance_metrics: bool = False
 
     def __post_init__(self):
         self.bundles_sink = ExactlyOnceParquetSink(
@@ -75,6 +78,7 @@ class HarmonizationPipeline:
             self.mapping_config,
             id_col="conv_id",
             data_col="text",
+            measure_latency=self.enable_performance_metrics,
         )
         return observe_mapping(m)
 

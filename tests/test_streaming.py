@@ -502,3 +502,68 @@ def test_fanout_sink_stages_once_without_cache(spark, tmp_path):
     fn(spark.range(3).selectExpr("cast(id as string) conv_id", "id n"), 0)
     assert ok_sink.read_committed(spark).count() == 50
     assert not os.path.exists(str(tmp_path / "staging" / "batch=0"))
+
+
+def test_transform_latency_distribution_in_metrics(spark, tmp_path):
+    """enable_performance_metrics must surface the per-element transform
+    latency Distribution (min/avg/max + p50/p95/p99) in every batch's
+    observed metrics, visible in the listener's JSONL — the MappingFn
+    Distribution analogue (MappingFn.java:53-54, 205-210) — without leaking
+    the _lat_us column into sinks."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.metrics import (
+        MetricsListener,
+    )
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    _write_input(spark, inp, total_turns=200)
+    jsonl = os.path.join(tmp, "metrics.jsonl")
+    listener = MetricsListener(jsonl)
+    spark.streams.addListener(listener)
+    try:
+        pipe = HarmonizationPipeline(
+            mapping_config=CFG,
+            out_dir=os.path.join(tmp, "out"),
+            watermark_delay="36 hours",
+            trigger={"availableNow": True},
+            enable_performance_metrics=True,
+        )
+        q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ckpt"))
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert "_lat_us" not in pipe.bundles(spark).columns
+    with open(jsonl) as f:
+        rows = [json.loads(line) for line in f]
+    observed = [
+        r["observed"]["mapping_metrics"]
+        for r in rows
+        if r["num_input_rows"] > 0 and "mapping_metrics" in r["observed"]
+    ]
+    assert observed, f"no observed mapping metrics in {rows}"
+    for m in observed:
+        assert m["rows_ok"] > 0
+        for k in ("lat_min_us", "lat_avg_us", "lat_max_us",
+                  "lat_p50_us", "lat_p95_us", "lat_p99_us"):
+            assert m[k] is not None and m[k] >= 0, (k, m)
+        assert m["lat_min_us"] <= m["lat_p50_us"] <= m["lat_p99_us"] <= m["lat_max_us"]
+
+
+def test_state_blob_version_tag():
+    """Session-state blobs carry a version byte: a blob from a different
+    format fails with an explicit incompatibility error, not inside
+    pickle.loads."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly import (
+        _pack_turns,
+        _unpack_turns,
+    )
+
+    turns = [(0, "user", "hi", 1_000_000)]
+    assert _unpack_turns(_pack_turns(turns)) == turns
+    import pickle
+
+    with pytest.raises(ValueError, match="incompatible"):
+        _unpack_turns(pickle.dumps(turns))  # un-versioned legacy blob
+    with pytest.raises(ValueError, match="incompatible"):
+        _unpack_turns(b"")
