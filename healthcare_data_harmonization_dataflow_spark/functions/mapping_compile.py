@@ -118,6 +118,13 @@ class _StrCol:
         self.col = col
 
 
+class _BoolCol:
+    """A plain BOOLEAN Column ($Eq results; renders as JSON true/false)."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+
 def _null_variant() -> Column:
     return F.lit(None).cast("variant")
 
@@ -128,6 +135,8 @@ def _str_form(jv) -> Column:
     backend mirrors this by returning _MISSING for non-scalars)."""
     if isinstance(jv, _StrCol):
         return jv.col
+    if isinstance(jv, _BoolCol):
+        return F.when(jv.col.isNotNull(), F.when(jv.col, "true").otherwise("false"))
     if isinstance(jv, _StructVal):
         raise MappingConfigError(
             "column backend: projector result is not a scalar builtin argument"
@@ -182,18 +191,62 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     "column backend: $Hash argument must be a data value"
                 )
             return _StrCol(F.sha2(F.to_json(args[0]), 256))
+        if expr.name == "$Eq":
+            # equality of canonical JSON renderings (VARIANT objects carry
+            # sorted keys, so rendering equality == value equality); a
+            # missing side yields NULL -> the condition is not satisfied
+            for a in args:
+                if not isinstance(a, Column):
+                    raise MappingConfigError(
+                        "column backend: $Eq arguments must be data values"
+                    )
+            # coalesce: a missing side compares false (not NULL/omitted),
+            # matching the python backend
+            return _BoolCol(
+                F.coalesce(F.to_json(args[0]) == F.to_json(args[1]), F.lit(False))
+            )
+        if expr.name == "$If":
+            cond = args[0]
+            if isinstance(cond, _BoolCol):
+                cond_col = cond.col
+            elif isinstance(cond, Column):
+                # a data value satisfies the condition iff it is JSON true —
+                # STRICTLY boolean-typed (a "true" string must not coerce,
+                # matching the python backend's `cond is True`)
+                cond_col = (
+                    F.schema_of_variant(cond) == F.lit("BOOLEAN")
+                ) & F.try_variant_get(cond, "$", "boolean")
+            else:
+                raise MappingConfigError(
+                    "column backend: $If condition must be a data value or $Eq"
+                )
+            branches = args[1:]
+            kinds = {type(b) for b in branches}
+            if _StructVal in kinds or _StrArr in kinds or len(kinds) > 1:
+                raise MappingConfigError(
+                    "column backend: $If branches must be uniform scalar values"
+                )
+            then_col = branches[0].col if isinstance(branches[0], (_StrCol, _BoolCol)) else branches[0]
+            w = F.when(cond_col, then_col)
+            if len(branches) == 2:
+                else_col = branches[1].col if isinstance(branches[1], (_StrCol, _BoolCol)) else branches[1]
+                w = w.otherwise(else_col)
+            return w if isinstance(branches[0], Column) else type(branches[0])(w)
         raise MappingConfigError(f"column backend cannot compile {expr!r}")
     if isinstance(expr, Arr):
         items = [_compile_expr(cfg, it, env) for it in expr.items]
         kinds = {
-            "struct" if isinstance(i, _StructVal) else "str" if isinstance(i, _StrCol) else "variant"
+            "struct" if isinstance(i, _StructVal)
+            else "str" if isinstance(i, _StrCol)
+            else "bool" if isinstance(i, _BoolCol)
+            else "variant"
             for i in items
         }
         if not items:
             return F.array().cast("array<variant>")
         if kinds == {"variant"}:
             return F.array(*items).cast("array<variant>")
-        if kinds == {"str"}:
+        if kinds in ({"str"}, {"bool"}):
             return _StrArr([i.col for i in items])
         raise MappingConfigError(
             "column backend: array elements must be uniformly data values or strings"
@@ -225,7 +278,7 @@ def _render(jv) -> Column:
             sub = _render(_StructVal(val)) if kind == "node" else _render(val)
             cols.extend([F.lit(name), sub])
         return F.named_struct(*cols)
-    if isinstance(jv, _StrCol):
+    if isinstance(jv, (_StrCol, _BoolCol)):
         return jv.col
     if isinstance(jv, _StrArr):
         return F.array(*jv.cols)
@@ -274,6 +327,20 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             return eval_tree(nest_fields(proj.fields), penv)
         if isinstance(expr, Builtin):
             vals = [eval_expr(a, env) for a in expr.args]
+            if expr.name == "$Eq":
+                a, b = vals
+                if a is _MISSING or b is _MISSING:
+                    # column backend: to_json(NULL) = NULL -> NULL comparison,
+                    # never satisfied
+                    return False
+                return json_canon.dumps(json_canon.canon_sort(a)) == json_canon.dumps(
+                    json_canon.canon_sort(b)
+                )
+            if expr.name == "$If":
+                cond = vals[0]
+                if cond is True:
+                    return vals[1]
+                return vals[2] if len(vals) == 3 else _MISSING
             if expr.name == "$Hash":
                 v = vals[0]
                 if v is _MISSING:

@@ -71,6 +71,11 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$ToLower": (1, 1),
     "$StrCat": (1, None),
     "$Hash": (1, 1),
+    # conditionals: $Eq compares canonical JSON renderings; $If(cond, then[,
+    # else]) takes the then-branch iff cond is JSON true (a missing else
+    # omits the field)
+    "$Eq": (2, 2),
+    "$If": (2, 3),
 }
 
 

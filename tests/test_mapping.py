@@ -310,3 +310,37 @@ def test_extended_config_compile_errors():
         compile_mapping("out O: P(root);\ndef P(i) { a: i.x; a.b: i.y; }")
     with pytest.raises(MappingConfigError):
         compile_mapping("out O: P(root);\ndef P(i) { a.b: i.x; a.b: i.y; }")
+
+
+COND_CONFIG = """
+out Output: C(root);
+def C(input) {
+  flag: $If($Eq(input.cat, "click"), "C", "NC");
+  b: $Eq(input.k, 69);
+  onlyif: $If(input.active, "yes");
+  strict: $If(input.strbool, "coerced", "strict");
+  missing_eq: $Eq(input.nope, input.also_nope);
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_conditionals_golden(spark, backend):
+    """$If/$Eq: canonical-JSON equality, strictly-boolean conditions (a
+    'true' STRING must not satisfy $If), missing-else omission, and
+    missing-operand $Eq -> false — byte-identical on both backends."""
+    rows = [
+        ("a", '{"cat":"click","k":69,"active":true,"strbool":"true"}'),
+        ("b", '{"cat":"view","k":2,"active":false,"strbool":true}'),
+    ]
+    df = spark.createDataFrame(rows, "id string, data string")
+    got = {
+        r["id"]: r["ok"]
+        for r in ok_rows(apply_mapping(df, COND_CONFIG, backend=backend)).collect()
+    }
+    assert got == {
+        "a": '{"Output":[{"flag":"C","b":true,"onlyif":"yes",'
+             '"strict":"strict","missing_eq":false}]}',
+        "b": '{"Output":[{"flag":"NC","b":false,'
+             '"strict":"coerced","missing_eq":false}]}',
+    }
