@@ -32,7 +32,15 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="transcript stream path/table")
     ap.add_argument("--out", required=True, help="output warehouse directory")
     ap.add_argument("--checkpoint", required=True, help="checkpoint root")
-    ap.add_argument("--mapping-config-file", required=True)
+    ap.add_argument("--mapping-config-file", required=True,
+                    help="path or URI (file/hdfs/s3a/gs) of the mapping config"
+                    " — the reference's --mappingPath")
+    ap.add_argument("--import-root", default="",
+                    help="directory tree resolving the config's import"
+                    ' statements — the reference\'s --importRoot')
+    ap.add_argument("--enable-performance-metrics", action="store_true",
+                    help="per-element transform-latency distribution"
+                    " (forces the Arrow/pandas mapping backend)")
     ap.add_argument("--session-gap", default="5 minutes")
     ap.add_argument("--watermark-delay", default="10 minutes")
     ap.add_argument("--trigger-seconds", type=int, default=5,
@@ -56,8 +64,13 @@ def main() -> None:
     spark = SparkSession.builder.appName("transcript-harmonization").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    with open(args.mapping_config_file) as f:
-        cfg = f.read()
+    from healthcare_data_harmonization_dataflow_spark.provider.mapping import (
+        load_mapping_config,
+    )
+
+    cfg = load_mapping_config(
+        args.mapping_config_file, import_root=args.import_root, spark=spark
+    )
 
     trigger = (
         {"availableNow": True}
@@ -71,6 +84,7 @@ def main() -> None:
         watermark_delay=args.watermark_delay,
         trigger=trigger,
         error_shards=args.error_shards,
+        enable_performance_metrics=args.enable_performance_metrics,
     )
     listener = MetricsListener(path=f"{args.out}/metrics/progress.jsonl")
     spark.streams.addListener(listener)
