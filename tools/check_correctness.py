@@ -40,6 +40,40 @@ def rows_multiset(cols, rows):
     return sorted("|".join(norm(r[i]) for i in order) for r in rows)
 
 
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "timestamp": "ts",
+    "timestamp_ntz": "ts", "date": "ts",
+}
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "int128", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int128",
+    "FLOAT": "float", "DOUBLE": "float", "NUMBER": "float",
+    "VARCHAR": "str", "STRING": "str", "BOOLEAN": "bool", "bool": "bool",
+    "TIMESTAMP": "ts", "DATETIME": "ts", "DATE": "ts",
+}
+
+
+def type_mismatches(sdf, duck_cols_types) -> list:
+    """Coarse type-class comparison between the Spark schema and the DuckDB
+    relation types; returns human-readable mismatches. int128 (HUGEINT)
+    deliberately does NOT class as int — the driver's hash is
+    type-sensitive and HUGEINT-vs-BIGINT was round 1's only red cell."""
+    stypes = {f.name: _SPARK_CLASS.get(f.dataType.simpleString(), "other")
+              for f in sdf.schema.fields}
+    out = []
+    for name, dt in duck_cols_types:
+        dclass = _DUCK_CLASS.get(str(dt), "other")
+        sclass = stypes.get(name)
+        if sclass is None:
+            continue
+        if sclass != dclass and "other" not in (sclass, dclass):
+            out.append(f"{name}: spark={sclass} duck={dt}({dclass})")
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -69,9 +103,11 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(sql)
-            dcols = sorted(d[0] for d in res.description)
-            drows = res.fetchall()
+            rel = con.sql(sql)
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
+            dcols = sorted(duck_cols)
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -79,11 +115,19 @@ def main():
         problems = []
         if scols != dcols:
             problems.append(f"schema: spark={scols} duck={dcols}")
+        else:
+            # type-class parity: the driver's value hash is TYPE-sensitive,
+            # so an oracle emitting HUGEINT (e.g. DuckDB list_sum over
+            # BIGINT) for a Spark int64 column passes a value-only compare
+            # but fails the driver — catch that here (round-1 W1 class)
+            tmis = type_mismatches(sdf, list(zip(duck_cols, duck_types)))
+            if tmis:
+                problems.append("oracle type class: " + "; ".join(tmis))
         if len(srows) != len(drows):
             problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
         if not problems:
             sm, dm = rows_multiset(sdf.columns, srows), rows_multiset(
-                [d[0] for d in res.description], drows
+                duck_cols, drows
             )
             if sm != dm:
                 diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
