@@ -286,6 +286,11 @@ def q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return S.embedding_cosine_pairs(_emb(spark, sf_dir), threshold_ppm=300_000)
 
@@ -420,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
         "cep_dangling_assistant": q_cep_dangling_assistant,
@@ -579,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),
         "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
         "ann_lsh_topk": S.lsh_topk_oracle_sql(k=5, n_queries=10),
+        "ann_ivf_topk": S.ivf_topk_oracle_sql(k=5, n_queries=10),
         "dedup_embedding_cosine": S.embedding_cosine_pairs_oracle_sql(300_000),
         "cep_dangling_assistant": f"""
             WITH t AS ({TRANSCRIPTS_SQL}),

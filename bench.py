@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "ann_brute_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "text_quality",
     "text_fingerprint",

@@ -463,3 +463,158 @@ def embedding_cosine_pairs_oracle_sql(
     FROM pairs
     WHERE floor(qdot * 1000000.0 / sqrt(CAST(nprod AS DOUBLE))) >= {threshold_ppm}
     """
+
+
+# -------------------------------------------------------------- IVF ANN
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def _ivf_assign_expr(cents: list[list[int]], n_out: int) -> str:
+    """Expression assigning a vector to its ``n_out`` nearest centroids
+    (exact int64 squared-L2 over quantized components), returned as an
+    array of centroid ids ordered by (distance, id) — deterministic.
+    Uses the let-binding idiom (see lsh_band_keys) so the quantized vector
+    and the distance array are computed once per row."""
+    k = len(cents)
+    dists = (
+        "transform(_ivfc, cw -> aggregate(zip_with(qe, cw, "
+        "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v))"
+    )
+    ranked = (
+        f"transform(array({dists}), ds -> "
+        f"transform(slice(array_sort(zip_with(ds, sequence(0, {k - 1}), "
+        f"(d, i) -> struct(d as d, i as i))), 1, {n_out}), s -> s.i))[0]"
+    )
+    return ranked
+
+
+def _ivf_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, dim: int):
+    """Deterministic centroid selection: the quantized vectors of the
+    ``n_centroids`` lowest-id rows. Production would run k-means; the
+    assignment/probe/re-rank machinery — the part that must scale — is
+    identical either way, and this choice is reproducible in the SQL
+    oracle. Constant-size driver collect (like the dedup top-64 table)."""
+    rows = (
+        embeddings.select(F.col(id_col), F.expr(_qe_expr(dim)).alias("qe"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["qe"]) for r in rows]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    dim: int = LSH_DIM,
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors are inverted-listed under their
+    nearest centroid; each query probes its ``n_probe`` nearest centroids
+    and re-ranks the union of those lists exactly.
+
+    Scale shape: the build pass is one broadcast of K centroid vectors +
+    K distance evaluations per corpus vector (linear, no shuffle of
+    vectors beyond the list equi-join); queries shuffle only (id, centroid)
+    probe pairs. Candidate fraction ~ n_probe/n_centroids of the corpus —
+    raise n_centroids as the corpus grows, n_probe for recall. All math is
+    quantized-int64, reproduced bit-for-bit by the DuckDB oracle."""
+    spark = embeddings.sparkSession
+    cents = _ivf_centroids(embeddings, n_centroids, id_col, dim)
+    cdf = F.broadcast(spark.createDataFrame([(cents,)], "_ivfc array<array<bigint>>"))
+    assign = (
+        f"transform(array({_qe_expr(dim)}), qe -> {_ivf_assign_expr(cents, 1)})[0][0]"
+    )
+    probes = (
+        f"transform(array({_qe_expr(dim)}), qe -> {_ivf_assign_expr(cents, n_probe)})[0]"
+    )
+    corpus = embeddings.crossJoin(cdf).select(
+        F.col(id_col).alias("neighbor_id"), F.expr(assign).alias("centroid")
+    )
+    qprobe = queries.crossJoin(cdf).select(
+        F.col(id_col).alias("query_id"), F.explode(F.expr(probes)).alias("centroid")
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(corpus, "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qa = F.broadcast(
+        _quantized(queries, id_col, dim)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_qe", "_qa")
+    )
+    qb = _quantized(embeddings, id_col, dim).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).withColumnRenamed("_qe", "_qb")
+    scored = (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select("query_id", "neighbor_id", F.expr(_QDOT_QE).alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qdot")
+    )
+
+
+def ivf_topk_oracle_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+) -> str:
+    """DuckDB oracle reproducing ivf_topk exactly: same quantization, same
+    lowest-id centroids, same (distance, id) probe ordering, same scores."""
+    return f"""
+    WITH qz AS (SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS qe
+                FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
+              FROM qz ORDER BY vec_id LIMIT {n_centroids}),
+    dists AS (
+      SELECT v.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(v.qe, c.qe),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM qz v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cid AS centroid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS centroid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists WHERE vec_id < {n_queries}
+      ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assigned a ON p.centroid = a.centroid
+      WHERE p.query_id != a.neighbor_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                      p -> p[1] * p[2])) AS qdot
+      FROM cand c JOIN qz qa ON qa.vec_id = c.query_id
+                  JOIN qz qb ON qb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(qdot AS BIGINT) AS qdot FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
