@@ -80,7 +80,13 @@ class CompiledMapping:
             targets.setdefault(tgt, []).append(_render(_compile_expr(self.config, expr, {"root": root})))
         fields = []
         for tgt, items in targets.items():
-            fields.extend([F.lit(tgt), F.array(*items)])
+            # Whistle appends only PRODUCED values to an out target: a
+            # missing expression (SQL NULL) is skipped, while a JSON null
+            # VALUE (variant-null, which is not SQL NULL) is kept — matching
+            # the python backend's _MISSING-skip/None-keep split.
+            fields.extend(
+                [F.lit(tgt), F.filter(F.array(*items), lambda x: x.isNotNull())]
+            )
         return F.to_json(F.named_struct(*fields))
 
     # ---------------------------------------------------------- python backend
@@ -159,7 +165,16 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 return _null_variant()
             kind, val = entry
             base = _StructVal(val) if kind == "node" else val
-        if isinstance(base, _StrCol):
+        if isinstance(base, _ArrCol) and parts and isinstance(parts[0], int):
+            # dynamic element access into an append-target array (positions
+            # are data-dependent after missing-filtering, so this cannot
+            # resolve statically); try_element_at is 1-based
+            idx = parts.pop(0)
+            elem_col = F.try_element_at(base.col, F.lit(idx + 1))
+            if base.elem != "variant":
+                return _StrCol(elem_col) if not parts else _null_variant()
+            base = elem_col
+        if isinstance(base, (_StrCol, _BoolCol, _ArrCol)):
             return base if not parts else _null_variant()
         if isinstance(base, _StructVal):
             return base
@@ -264,9 +279,36 @@ def _compile_tree(cfg: MappingConfig, tree: dict, env: dict[str, Any]) -> "_Stru
     for name, (kind, val) in tree.items():
         if kind == "node":
             out[name] = ("node", _compile_tree(cfg, val, env).tree)
+        elif kind == "arr":
+            # `path[]:` append targets: produced values only (missing -> SQL
+            # NULL is filtered; a JSON null VALUE survives), declaration order
+            items = [_compile_expr(cfg, it, env) for it in val]
+            kinds = {type(i) for i in items}
+            if _StructVal in kinds or _StrArr in kinds or len(kinds) > 1:
+                raise MappingConfigError(
+                    "column backend: append-target values must be uniform scalars"
+                )
+            cols = [i.col if isinstance(i, (_StrCol, _BoolCol)) else i for i in items]
+            elem = "variant" if kinds == {Column} else "str"
+            out[name] = (
+                "leaf",
+                _StrArr([]) if not cols else _ArrCol(
+                    F.filter(F.array(*cols), lambda x: x.isNotNull()), elem
+                ),
+            )
         else:
             out[name] = ("leaf", _compile_expr(cfg, val, env))
     return _StructVal(out)
+
+
+class _ArrCol:
+    """A ready array Column (append-target result); renders as-is.
+    ``elem`` records the element kind ('variant' | 'str') so static
+    navigation can index into it dynamically."""
+
+    def __init__(self, col: Column, elem: str = "variant"):
+        self.col = col
+        self.elem = elem
 
 
 def _render(jv) -> Column:
@@ -278,7 +320,7 @@ def _render(jv) -> Column:
             sub = _render(_StructVal(val)) if kind == "node" else _render(val)
             cols.extend([F.lit(name), sub])
         return F.named_struct(*cols)
-    if isinstance(jv, (_StrCol, _BoolCol)):
+    if isinstance(jv, (_StrCol, _BoolCol, _ArrCol)):
         return jv.col
     if isinstance(jv, _StrArr):
         return F.array(*jv.cols)
@@ -375,6 +417,10 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         for name, (kind, val) in tree.items():
             if kind == "node":
                 out[name] = eval_tree(val, env)
+            elif kind == "arr":
+                out[name] = [
+                    v for it in val if (v := eval_expr(it, env)) is not _MISSING
+                ]
             else:
                 v = eval_expr(val, env)
                 if v is not _MISSING:

@@ -83,30 +83,48 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
 class Projector:
     name: str
     params: tuple[str, ...]
-    fields: tuple[tuple[tuple[str, ...], object], ...]  # (target_path, expr)
+    # (target_path, expr, append): append=True for ``path[]: expr`` fields,
+    # which accumulate into an array in declaration order
+    fields: tuple[tuple[tuple[str, ...], object, bool], ...]
 
 
 def nest_fields(fields) -> dict:
-    """Fold a projector's (target_path, expr) list into an insertion-ordered
-    nested tree: name -> ('leaf', expr) | ('node', subtree). Raises
+    """Fold a projector's (target_path, expr, append) list into an
+    insertion-ordered nested tree: name -> ('leaf', expr) | ('node',
+    subtree) | ('arr', [expr, ...]) for ``path[]`` append targets. Raises
     MappingConfigError on duplicate or leaf-vs-prefix conflicts."""
     root: dict = {}
-    for path, expr in fields:
+    for entry in fields:
+        path, expr, append = entry if len(entry) == 3 else (*entry, False)
         cur = root
         for seg in path[:-1]:
-            entry = cur.get(seg)
-            if entry is None:
-                entry = ("node", {})
-                cur[seg] = entry
-            elif entry[0] != "node":
+            node = cur.get(seg)
+            if node is None:
+                node = ("node", {})
+                cur[seg] = node
+            elif node[0] != "node":
                 raise MappingConfigError(
                     f"target '{'.'.join(path)}' conflicts with earlier leaf '{seg}'"
                 )
-            cur = entry[1]
+            cur = node[1]
         last = path[-1]
-        if last in cur:
-            raise MappingConfigError(f"duplicate target field '{'.'.join(path)}'")
-        cur[last] = ("leaf", expr)
+        prev = cur.get(last)
+        if append:
+            if prev is None:
+                cur[last] = ("arr", [expr])
+            elif prev[0] == "arr":
+                prev[1].append(expr)
+            else:
+                raise MappingConfigError(
+                    f"append target '{'.'.join(path)}[]' conflicts with an "
+                    "earlier non-append field"
+                )
+        else:
+            if prev is not None:
+                raise MappingConfigError(
+                    f"duplicate target field '{'.'.join(path)}'"
+                )
+            cur[last] = ("leaf", expr)
     return root
 
 
@@ -140,7 +158,7 @@ class MappingConfig:
             for a in expr.args:
                 self._check(a, bound)
             nest_fields(proj.fields)  # nested-target conflicts fail at compile
-            for _, fexpr in proj.fields:
+            for _, fexpr, _append in proj.fields:
                 self._check(fexpr, bound=proj.params)
             return
         if isinstance(expr, Builtin):
@@ -235,10 +253,15 @@ class _Parser:
                     while self.peek()[1] == ".":
                         self.next()
                         fpath.append(self.expect("ident"))
+                    append = False
+                    if self.peek()[1] == "[":  # `path[]:` array-append target
+                        self.next()
+                        self.expect(value="]")
+                        append = True
                     self.expect(value=":")
                     fexpr = self.parse_expr()
                     self.expect(value=";")
-                    fields.append((tuple(fpath), fexpr))
+                    fields.append((tuple(fpath), fexpr, append))
                 self.expect(value="}")
                 cfg.projectors[name] = Projector(name, tuple(params), tuple(fields))
             elif k == "ident" and v == "root_mapping":

@@ -344,3 +344,64 @@ def test_conditionals_golden(spark, backend):
         "b": '{"Output":[{"flag":"NC","b":false,'
              '"strict":"coerced","missing_eq":false}]}',
     }
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_out_append_skips_missing_keeps_json_null(spark, backend):
+    """A missing out-expression appends NOTHING to the target array (Whistle
+    nil-propagation); a JSON null VALUE appends null. Both backends agree —
+    the column backend previously rendered missing as a null element."""
+    cfg = "out X: root.nope;\nout X: root.k;\nout X: root.a;\nout Y: root.nope;"
+    df = spark.createDataFrame([("a", '{"a":null,"k":1}')], "id string, data string")
+    res = ok_rows(apply_mapping(df, cfg, backend=backend))
+    assert res.collect()[0]["ok"] == '{"X":[1,null],"Y":[]}'
+
+
+APPEND_CONFIG = """
+out Output: A(root);
+def A(input) {
+  items[]: input.a;
+  items[]: input.nope;
+  items[]: input.b;
+  meta.tags[]: $ToUpper(input.cat);
+  empty[]: input.nope;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_append_targets_golden(spark, backend):
+    """`path[]:` append targets accumulate produced values in declaration
+    order: missing appends nothing, a JSON null VALUE appends null, nested
+    append paths and builtin values work — byte-identical backends."""
+    df = spark.createDataFrame(
+        [("x", '{"a":1,"b":null,"cat":"go"}')], "id string, data string"
+    )
+    res = ok_rows(apply_mapping(df, APPEND_CONFIG, backend=backend))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"items":[1,null],"meta":{"tags":["GO"]},"empty":[]}]}'
+    )
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_append_array_navigation(spark, backend):
+    """Indexing into a projector's append-target array resolves dynamically
+    (positions shift after missing-filtering); out-of-range omits."""
+    cfg = (
+        "out Output: B(A(root));\n"
+        "def A(input) { items[]: input.a; items[]: input.nope; items[]: input.b; }\n"
+        "def B(x) { first: x.items[0]; second: x.items[1]; far: x.items[9]; "
+        "whole: x.items; }"
+    )
+    df = spark.createDataFrame([("x", '{"a":1,"b":7}')], "id string, data string")
+    res = ok_rows(apply_mapping(df, cfg, backend=backend))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"first":1,"second":7,"whole":[1,7]}]}'
+    )
+
+
+def test_append_target_conflicts():
+    with pytest.raises(MappingConfigError, match="conflicts"):
+        compile_mapping("out O: P(root);\ndef P(i) { a: i.x; a[]: i.y; }")
+    with pytest.raises(MappingConfigError, match="duplicate"):
+        compile_mapping("out O: P(root);\ndef P(i) { a[]: i.x; a: i.y; }")
