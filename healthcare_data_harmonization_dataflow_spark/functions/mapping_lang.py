@@ -11,12 +11,15 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
 * ``def <Name>(<params>) { field: expr; ... }``   — projector definition
 * nested target fields inside projectors (``meta.cat: expr;``) — built as
   nested objects, insertion-ordered, conflicts rejected at compile time
+* array-append target fields (``items[]: expr;``) — produced values
+  accumulate in declaration order (missing appends nothing)
 * expressions: dotted paths (``input.bar.baz``), array element access
   (``input.items[0].name``), string/number/bool/null literals, projector
   calls (``Test(root)``, whose results may themselves be arguments to other
   projectors), array construction (``[a, b, c]`` — a missing element
   renders as JSON null, preserving positions), builtin calls
-  (``$ToUpper/$ToLower/$StrCat/$Hash``), ``root`` = whole input
+  (``$ToUpper/$ToLower/$StrCat/$Hash``), conditionals (``$Eq``/``$If``,
+  strict-boolean, canonical-JSON equality), ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
