@@ -143,9 +143,9 @@ def _str_form(jv) -> Column:
         return jv.col
     if isinstance(jv, _BoolCol):
         return F.when(jv.col.isNotNull(), F.when(jv.col, "true").otherwise("false"))
-    if isinstance(jv, _StructVal):
+    if not isinstance(jv, Column):  # _StructVal / _ArrCol / _StrArr
         raise MappingConfigError(
-            "column backend: projector result is not a scalar builtin argument"
+            "column backend: builtin arguments must be scalar values"
         )
     return F.try_variant_get(jv, "$", "string")
 

@@ -405,3 +405,19 @@ def test_append_target_conflicts():
         compile_mapping("out O: P(root);\ndef P(i) { a: i.x; a[]: i.y; }")
     with pytest.raises(MappingConfigError, match="duplicate"):
         compile_mapping("out O: P(root);\ndef P(i) { a[]: i.x; a: i.y; }")
+
+
+def test_nonscalar_builtin_arg_falls_back_cleanly(spark):
+    """A builtin over a non-scalar (append-array projector field) must make
+    the column backend raise MappingConfigError — so auto falls back to
+    pandas — not crash with an unrelated error."""
+    cfg = (
+        "out Output: B(A(root));\n"
+        "def A(input) { items[]: input.a; }\n"
+        "def B(x) { up: $ToUpper(x.items); }"
+    )
+    m = compile_mapping(cfg)
+    assert m.supports_columns() is False
+    df = spark.createDataFrame([("x", '{"a":"v"}')], "id string, data string")
+    # pandas semantics: non-scalar -> _MISSING -> field omitted
+    assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == '{"Output":[{}]}'
