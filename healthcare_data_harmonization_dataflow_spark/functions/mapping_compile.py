@@ -237,7 +237,12 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 )
             branches = args[1:]
             kinds = {type(b) for b in branches}
-            if _StructVal in kinds or _StrArr in kinds or len(kinds) > 1:
+            allowed = all(
+                isinstance(b, (_StrCol, _BoolCol))
+                or (isinstance(b, Column) and not isinstance(b, (_StrCol, _BoolCol)))
+                for b in branches
+            )
+            if not allowed or len(kinds) > 1:
                 raise MappingConfigError(
                     "column backend: $If branches must be uniform scalar values"
                 )
@@ -251,10 +256,10 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
     if isinstance(expr, Arr):
         items = [_compile_expr(cfg, it, env) for it in expr.items]
         kinds = {
-            "struct" if isinstance(i, _StructVal)
+            "variant" if (isinstance(i, Column) and not isinstance(i, (_StrCol, _BoolCol)))
             else "str" if isinstance(i, _StrCol)
             else "bool" if isinstance(i, _BoolCol)
-            else "variant"
+            else "other"
             for i in items
         }
         if not items:
@@ -263,6 +268,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return F.array(*items).cast("array<variant>")
         if kinds in ({"str"}, {"bool"}):
             return _StrArr([i.col for i in items])
+        # nested arrays / projector results / mixed kinds: not projective
         raise MappingConfigError(
             "column backend: array elements must be uniformly data values or strings"
         )
@@ -284,7 +290,10 @@ def _compile_tree(cfg: MappingConfig, tree: dict, env: dict[str, Any]) -> "_Stru
             # NULL is filtered; a JSON null VALUE survives), declaration order
             items = [_compile_expr(cfg, it, env) for it in val]
             kinds = {type(i) for i in items}
-            if _StructVal in kinds or _StrArr in kinds or len(kinds) > 1:
+            scalar = all(
+                isinstance(i, (Column, _StrCol, _BoolCol)) for i in items
+            )
+            if not scalar or len(kinds) > 1:
                 raise MappingConfigError(
                     "column backend: append-target values must be uniform scalars"
                 )
@@ -344,6 +353,11 @@ def _scalar_str(v):
 def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
     import hashlib
 
+    # the nested-target tree is a pure function of the static config —
+    # folding (and conflict-checking) it per projector CALL would redo it
+    # for every row in the hot loop
+    trees = {name: nest_fields(p.fields) for name, p in cfg.projectors.items()}
+
     def eval_expr(expr, env):
         if isinstance(expr, Lit):
             return expr.value
@@ -366,7 +380,7 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             proj = cfg.projectors[expr.name]
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
-            return eval_tree(nest_fields(proj.fields), penv)
+            return eval_tree(trees[expr.name], penv)
         if isinstance(expr, Builtin):
             vals = [eval_expr(a, env) for a in expr.args]
             if expr.name == "$Eq":

@@ -338,8 +338,12 @@ def ngram_jaccard_pairs(
         wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws")).filter(
             F.size("ws") > 0
         )
+        # sort before hashing: the profile identity is the token SET (mask +
+        # sorted rare), so docs differing only in word order must collapse
         p_est = wordsets.agg(
-            F.approx_count_distinct(F.md5(F.concat_ws("\x1f", "ws"))).alias("p")
+            F.approx_count_distinct(
+                F.md5(F.concat_ws("\x1f", F.array_sort("ws")))
+            ).alias("p")
         ).first()["p"]
         strategy = "profile" if p_est <= profile_cap else "prefix"
     if strategy == "profile":

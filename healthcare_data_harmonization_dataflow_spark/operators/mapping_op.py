@@ -77,6 +77,7 @@ def apply_mapping(
     behavior structurally: data problems surface as null VARIANT (-> err
     rows) while engine/runtime exceptions fail the Spark task.
     """
+    custom_report_only = report_only is not None
     if report_only is None:
         report_only = lambda e: isinstance(e, RecoverableMappingError)  # noqa: E731
 
@@ -84,6 +85,12 @@ def apply_mapping(
 
     if backend == "auto":
         backend = "columns" if mapping.supports_columns() else "pandas"
+    if custom_report_only:
+        # a caller-supplied classification needs the per-element try/except,
+        # which only the pandas path has — silently ignoring it on the
+        # columns path would drop user-requested fatal semantics (the exact
+        # silent-dead-letter failure the parameter exists to prevent)
+        backend = "pandas"
     if measure_latency:
         # the per-element transform Distribution (MappingFn.java:53-54,
         # 203-209) needs a per-element clock, which only the Arrow/pandas

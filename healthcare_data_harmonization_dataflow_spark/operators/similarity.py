@@ -223,6 +223,13 @@ def lsh_band_keys(
     )
 
 
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    """Broadcast-hint the query side only when the caller vouches it is
+    small; an all-pairs caller (queries ~ corpus) passes small=False and
+    gets ordinary shuffle joins instead of an executor-OOM-sized hint."""
+    return F.broadcast(df) if small else df
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -231,6 +238,7 @@ def lsh_topk(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS_PER_BAND,
     dim: int = LSH_DIM,
+    small_queries: bool = True,
 ) -> DataFrame:
     """ANN top-k via banded LSH: a corpus vector is a candidate for a query
     iff they share a bucket in ANY band; exact integer re-rank inside the
@@ -246,16 +254,17 @@ def lsh_topk(
         id_col, "query_id"
     )
     cand = (
-        F.broadcast(qk)
+        _maybe_broadcast(qk, small_queries)
         .join(ck, ["band", "bucket"])
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
-    qa = F.broadcast(
+    qa = _maybe_broadcast(
         _quantized(queries, id_col, dim)
         .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("_qe", "_qa")
+        .withColumnRenamed("_qe", "_qa"),
+        small_queries,
     )
     qb = _quantized(embeddings, id_col, dim).withColumnRenamed(
         id_col, "neighbor_id"
@@ -512,6 +521,7 @@ def ivf_topk(
     n_centroids: int = IVF_CENTROIDS,
     n_probe: int = IVF_PROBE,
     dim: int = LSH_DIM,
+    small_queries: bool = True,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus vectors are inverted-listed under their
     nearest centroid; each query probes its ``n_probe`` nearest centroids
@@ -539,16 +549,17 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.explode(F.expr(probes)).alias("centroid")
     )
     cand = (
-        F.broadcast(qprobe)
+        _maybe_broadcast(qprobe, small_queries)
         .join(corpus, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qa = F.broadcast(
+    qa = _maybe_broadcast(
         _quantized(queries, id_col, dim)
         .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("_qe", "_qa")
+        .withColumnRenamed("_qe", "_qa"),
+        small_queries,
     )
     qb = _quantized(embeddings, id_col, dim).withColumnRenamed(
         id_col, "neighbor_id"

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Optional
 
 from ..functions.mapping_lang import MappingConfigError
 
@@ -36,18 +35,20 @@ _IMPORT_RE = re.compile(r'^\s*import\s+"([^"]+)"\s*;\s*$', re.MULTILINE)
 
 class MappingConfigProvider:
     """Loads mapping-config text; caches until ``force``
-    (MappingConfigProvider.java:9-18)."""
+    (MappingConfigProvider.java:9-18). The cache keys on ``import_root`` —
+    the resolved text depends on it, so a call with a different root must
+    re-resolve, not silently return the previous root's splice."""
 
     def __init__(self) -> None:
-        self._cached: Optional[str] = None
+        self._cached: dict[str, str] = {}
 
     def get_mapping_config(self, force: bool = False, import_root: str = "") -> str:
-        if force or self._cached is None:
+        if force or import_root not in self._cached:
             text = self._read_main()
-            self._cached = resolve_imports(
+            self._cached[import_root] = resolve_imports(
                 text, import_root, read_file=self._read_import
             )
-        return self._cached
+        return self._cached[import_root]
 
     # subclass hooks ------------------------------------------------------
     def _read_main(self) -> str:
@@ -85,27 +86,14 @@ class HadoopFsMappingConfigProvider(MappingConfigProvider):
         self._spark = spark
 
     def _read_hadoop(self, uri: str) -> str:
-        jvm = self._spark._jvm
-        conf = self._spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = path.getFileSystem(conf)
-        if not fs.exists(path):
+        # reuse the sink module's Hadoop-FS facade: one implementation of
+        # driver-side FS text reading to maintain, not two
+        from ..streaming.sink import _HadoopFs
+
+        fs = _HadoopFs(self._spark, uri)
+        if not fs.exists(uri):
             raise FileNotFoundError(f"mapping config not found: {uri}")
-        stream = fs.open(path)
-        try:
-            out = bytearray()
-            buf = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
-            line = buf.readLine()
-            first = True
-            while line is not None:
-                if not first:
-                    out.extend(b"\n")
-                out.extend(line.encode("utf-8"))
-                first = False
-                line = buf.readLine()
-            return out.decode("utf-8")
-        finally:
-            stream.close()
+        return fs.read_text(uri)
 
     def _read_main(self) -> str:
         return self._read_hadoop(self.uri)

@@ -50,10 +50,31 @@ def attempt_ingest(
 ) -> DataFrame:
     """Run the per-message ingest attempt over Arrow batches, adding
     ``_ingest`` (ok, lat_us, message, stacktrace, status_code)."""
-    out_schema = (
-        df.schema.simpleString()[7:-1]  # struct<...> -> ...
-        + ",_ingest:struct<ok:boolean,lat_us:bigint,message:string,"
-        "stacktrace:string,status_code:int>"
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(
+                "_ingest",
+                StructType(
+                    [
+                        StructField("ok", BooleanType()),
+                        StructField("lat_us", LongType()),
+                        StructField("message", StringType()),
+                        StructField("stacktrace", StringType()),
+                        StructField("status_code", IntegerType()),
+                    ]
+                ),
+            )
+        ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,19 +186,35 @@ class IngestMessagesSink:
         fan_fn = self._fan.foreach_batch()
 
         def fn(df: DataFrame, batch_id: int):
-            already = self.metrics_sink.is_committed(batch_id)
             attempts = attempt_ingest(df, self.ingest_fn, self.data_col)
             fan_fn(attempts, batch_id)
-            if already:
-                return
-            row = (
-                df.sparkSession.read.parquet(self.metrics_sink._data_dir(batch_id))
-                .first()
-                .asDict()
-            )
-            self._record(batch_id, row)
+            # recording keys off the LEDGER, not the sink commit: a crash
+            # between fan-out commit and ledger append would otherwise skip
+            # the row forever on replay (the aggregate sits committed in the
+            # metrics parquet, so recovery is a metadata-cheap read)
+            if not self._recorded(batch_id):
+                row = (
+                    df.sparkSession.read.parquet(
+                        self.metrics_sink._data_dir(batch_id)
+                    )
+                    .first()
+                    .asDict()
+                )
+                self._record(batch_id, row)
 
         return fn
+
+    def _recorded(self, batch_id: int) -> bool:
+        if any(m["batch_id"] == batch_id for m in self.metrics):
+            return True
+        if self.metrics_path and os.path.exists(self.metrics_path):
+            with open(self.metrics_path) as f:
+                return any(
+                    json.loads(line)["batch_id"] == batch_id
+                    for line in f
+                    if line.strip()
+                )
+        return False
 
     def _record(self, batch_id: int, agg: dict) -> None:
         row = {"batch_id": batch_id, **agg, "recorded_at": time.time()}

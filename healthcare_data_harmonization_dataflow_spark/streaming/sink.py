@@ -301,10 +301,17 @@ class FanOutSink:
         def fn(df: DataFrame, batch_id: int):
             if all(sink.is_committed(batch_id) for sink, _ in self.routes):
                 return  # fully-committed replay: nothing to stage
-            sink0 = self.routes[0][0]
-            if sink0._spark is None:
-                sink0._spark = df.sparkSession
-            fs = _LocalFs() if _is_local(self.staging_dir) else sink0._fs()
+            for sink, _ in self.routes:
+                if sink._spark is None:
+                    sink._spark = df.sparkSession
+            # the staging filesystem follows staging_dir's OWN scheme — a
+            # sink-derived FS with a different scheme would make the
+            # finally-delete a silent no-op and leak a staged batch copy
+            fs = (
+                _LocalFs()
+                if _is_local(self.staging_dir)
+                else _HadoopFs(df.sparkSession, self.staging_dir)
+            )
             staged_path = os.path.join(self.staging_dir, f"batch={batch_id}")
             df.write.mode("overwrite").parquet(staged_path)
             staged = df.sparkSession.read.parquet(staged_path)

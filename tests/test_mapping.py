@@ -421,3 +421,38 @@ def test_nonscalar_builtin_arg_falls_back_cleanly(spark):
     df = spark.createDataFrame([("x", '{"a":"v"}')], "id string, data string")
     # pandas semantics: non-scalar -> _MISSING -> field omitted
     assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == '{"Output":[{}]}'
+
+
+def test_append_array_in_expressions_falls_back(spark):
+    """Review regression: an append-target array used inside array
+    construction or $If branches must raise MappingConfigError in the
+    column backend (-> clean pandas fallback), not PySparkTypeError."""
+    for cfg in (
+        "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
+        "def B(x) { wrapped: [x.items]; }",
+        "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
+        "def B(x) { pick: $If(x.f, x.items, x.items); }",
+        "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
+        "def B(x) { nested[]: x.items; }",
+    ):
+        m = compile_mapping(cfg)
+        assert m.supports_columns() is False, cfg
+    df = spark.createDataFrame([("x", '{"a":1}')], "id string, data string")
+    res = ok_rows(
+        apply_mapping(
+            df,
+            "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
+            "def B(x) { wrapped: [x.items]; }",
+        )
+    )
+    assert res.collect()[0]["ok"] == '{"Output":[{"wrapped":[[1]]}]}'
+
+
+def test_custom_report_only_applies_on_projective_configs(spark):
+    """Review regression: report_only must not be silently dropped when the
+    config is projective (auto would pick the columns backend)."""
+    df = spark.createDataFrame([("b", "*** garbage ***")], "id string, data string")
+    res = apply_mapping(df, TEST_CONFIG, report_only=lambda e: False)
+    with pytest.raises(Exception) as ei:
+        res.collect()
+    assert "RecoverableMappingError" in str(ei.value)

@@ -93,3 +93,17 @@ def test_e2e_pipeline_from_config_file(spark, config_tree):
     df = spark.createDataFrame([("a", '{"bar":"test"}')], "id string, data string")
     res = ok_rows(apply_mapping(df, cfg))
     assert res.collect()[0]["ok"] == '{"Output":[{"foo":"test"}]}'
+
+
+def test_cache_keys_on_import_root(tmp_path):
+    """Review regression: a second call with a DIFFERENT import_root must
+    re-resolve, not return the first root's splice."""
+    (tmp_path / "r1").mkdir()
+    (tmp_path / "r2").mkdir()
+    (tmp_path / "main.wstl").write_text('import "lib.wstl";\nout O: P(root);\n')
+    (tmp_path / "r1" / "lib.wstl").write_text("def P(i) { a: i.x; }\n")
+    (tmp_path / "r2" / "lib.wstl").write_text("def P(i) { b: i.y; }\n")
+    prov = create_provider(str(tmp_path / "main.wstl"))
+    t1 = prov.get_mapping_config(import_root=str(tmp_path / "r1"))
+    t2 = prov.get_mapping_config(import_root=str(tmp_path / "r2"))
+    assert "a: i.x" in t1 and "b: i.y" in t2 and t1 != t2
