@@ -291,6 +291,58 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# EP2 (DICOM->FHIR) runner flow as a batch query: webpath extract ->
+# metadata fetch (join) -> CreateMappingFnInput -> MappingFn ->
+# CreateFhirResourceBundle; every doc_id % 10 == 0 study is missing from
+# the metadata table and exercises the read-error branch (excluded here:
+# its observed_time is nondeterministic; test_runners covers it).
+DICOM_Q_CFG = 'out Output: D(root);\ndef D(input) { study: input.study[0].id; }'
+_DICOM_PREFIX = "projects/p/locations/l/datasets/d/dicomStores/s/dicomWeb/studies/st"
+
+
+def q_dicom_harmonize(spark, sf_dir):
+    from healthcare_data_harmonization_dataflow_spark.streaming.dicom_pipeline import (
+        dicom_transform,
+    )
+
+    docs = _docs(spark, sf_dir)
+    msgs = docs.select(
+        F.encode(F.concat(F.lit(_DICOM_PREFIX), F.col("doc_id")), "utf-8").alias(
+            "payload"
+        )
+    )
+    meta = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.concat(F.lit(_DICOM_PREFIX), F.col("doc_id")).alias("webpath"),
+        F.concat(
+            F.lit('[{"id":"study-'), F.col("doc_id"), F.lit('"}]')
+        ).alias("metadata"),
+    )
+    out = dicom_transform(msgs, meta, DICOM_Q_CFG)
+    return out.filter(F.col("bundle").isNotNull()).select("webpath", "bundle")
+
+
+# the Custom->FHIR (QueryOptions) runner flow as a batch query
+CUSTOM_Q_CFG = (
+    "out Output: P(root);\n"
+    "def P(input) { name: $ToUpper(input.Region.r_name); "
+    "key: input.Region.r_regionkey; }"
+)
+
+
+def q_custom_to_fhir(spark, sf_dir):
+    from healthcare_data_harmonization_dataflow_spark.sources.query_options import (
+        custom_to_fhir,
+    )
+
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    out = custom_to_fhir(
+        spark,
+        {"Region": "SELECT r_regionkey, r_name FROM region_v"},
+        CUSTOM_Q_CFG,
+    )
+    return ok_rows(out).select("source_table", "data", "bundle")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return S.embedding_cosine_pairs(_emb(spark, sf_dir), threshold_ppm=300_000)
 
@@ -426,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dicom_harmonize": q_dicom_harmonize,
+        "custom_to_fhir": q_custom_to_fhir,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
         "cep_dangling_assistant": q_cep_dangling_assistant,
@@ -586,6 +640,26 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
         "ann_lsh_topk": S.lsh_topk_oracle_sql(k=5, n_queries=10),
         "ann_ivf_topk": S.ivf_topk_oracle_sql(k=5, n_queries=10),
+        "dicom_harmonize": f"""
+            SELECT concat('{_DICOM_PREFIX}', doc_id) AS webpath,
+                   concat('{{"resourceType":"Bundle","type":"transaction",',
+                          '"entry":[{{"resource":{{"Output":[{{"study":"study-',
+                          doc_id,
+                          '"}}]}},"request":{{"method":"POST","url":"Bundle"}}}}]}}')
+                     AS bundle
+            FROM documents WHERE doc_id % 10 != 0
+        """,
+        "custom_to_fhir": """
+            SELECT 'Region' AS source_table,
+                   concat('{"Region":{"r_regionkey":', r_regionkey,
+                          ',"r_name":"', r_name, '"}}') AS data,
+                   concat('{"resourceType":"Bundle","type":"transaction",',
+                          '"entry":[{"resource":{"Output":[{"name":"',
+                          upper(r_name), '","key":', r_regionkey,
+                          '}]},"request":{"method":"POST","url":"Bundle"}}]}')
+                     AS bundle
+            FROM region
+        """,
         "dedup_embedding_cosine": S.embedding_cosine_pairs_oracle_sql(300_000),
         "cep_dangling_assistant": f"""
             WITH t AS ({TRANSCRIPTS_SQL}),

@@ -30,10 +30,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.reformat import create_mapping_fn_input, extract_webpath_from_pubsub
-from ..model.errors import STEP_MAPPING, err_rows, ok_rows
 from ..operators.bundles import to_transaction_bundle
 from ..operators.mapping_op import apply_mapping
 from .sink import ExactlyOnceParquetSink, FanOutSink
+
+
+def dicom_transform(
+    messages: DataFrame, study_metadata: DataFrame, mapping_config: str
+) -> DataFrame:
+    """Pub/Sub-shaped messages (payload binary) x study-metadata table
+    (webpath string, metadata string JSON array) -> one DataFrame with
+    disjoint branch columns: bundle / read_err / map_err / write_err.
+    Standalone so batch callers (and the oracle-checked driver query) run
+    the EXACT plan the streaming pipeline sinks."""
+    paths = messages.withColumn(
+        "webpath", extract_webpath_from_pubsub(F.col("payload"))
+    )
+    fetched = paths.join(F.broadcast(study_metadata), "webpath", "left")
+    with_input = fetched.withColumn(
+        "_map_in", create_mapping_fn_input(F.col("metadata"))
+    )
+    mapped = apply_mapping(
+        with_input, mapping_config, id_col="webpath", data_col="_map_in"
+    )
+    bundled = to_transaction_bundle(mapped, "ok", url="Bundle")
+    return bundled.select(
+        "webpath",
+        # read branch: study fetch failed (DicomIO.readStudyMetadata err)
+        F.when(
+            F.col("metadata").isNull(),
+            F.named_struct(
+                F.lit("dataElement"), F.col("webpath"),
+                F.lit("observed_time"), F.current_timestamp(),
+                F.lit("message"), F.lit("study metadata not found"),
+                F.lit("stacktrace"), F.lit(None).cast("string"),
+                F.lit("statusCode"), F.lit(404),
+            ),
+        ).alias("read_err"),
+        # mapping branch (ErrorEntry; only for fetched studies)
+        F.when(F.col("metadata").isNotNull(), F.col("err")).alias("map_err"),
+        # write branch: mapped ok but the bundle failed validation
+        F.when(
+            F.col("ok").isNotNull() & F.col("bundle").isNull(),
+            F.named_struct(
+                F.lit("dataElement"), F.col("ok"),
+                F.lit("observed_time"), F.current_timestamp(),
+                F.lit("message"), F.lit("invalid FHIR resource for bundle"),
+                F.lit("stacktrace"), F.lit(None).cast("string"),
+                F.lit("statusCode"), F.lit(400),
+            ),
+        ).alias("write_err"),
+        F.when(F.col("err").isNull(), F.col("bundle")).alias("bundle"),
+    )
 
 
 @dataclass
@@ -57,48 +105,7 @@ class DicomHarmonizationPipeline:
 
     # ------------------------------------------------------------ the plan
     def transform(self, messages: DataFrame, study_metadata: DataFrame) -> DataFrame:
-        """Pub/Sub-shaped messages (payload binary) x study-metadata table
-        (webpath string, metadata string JSON array) -> one DataFrame with
-        disjoint branch columns: bundle / read_err / map_err / write_err."""
-        paths = messages.withColumn(
-            "webpath", extract_webpath_from_pubsub(F.col("payload"))
-        )
-        fetched = paths.join(F.broadcast(study_metadata), "webpath", "left")
-        with_input = fetched.withColumn(
-            "_map_in", create_mapping_fn_input(F.col("metadata"))
-        )
-        mapped = apply_mapping(
-            with_input, self.mapping_config, id_col="webpath", data_col="_map_in"
-        )
-        bundled = to_transaction_bundle(mapped, "ok", url="Bundle")
-        return bundled.select(
-            "webpath",
-            # read branch: study fetch failed (DicomIO.readStudyMetadata err)
-            F.when(
-                F.col("metadata").isNull(),
-                F.named_struct(
-                    F.lit("dataElement"), F.col("webpath"),
-                    F.lit("observed_time"), F.current_timestamp(),
-                    F.lit("message"), F.lit("study metadata not found"),
-                    F.lit("stacktrace"), F.lit(None).cast("string"),
-                    F.lit("statusCode"), F.lit(404),
-                ),
-            ).alias("read_err"),
-            # mapping branch (ErrorEntry; only for fetched studies)
-            F.when(F.col("metadata").isNotNull(), F.col("err")).alias("map_err"),
-            # write branch: mapped ok but the bundle failed validation
-            F.when(
-                F.col("ok").isNotNull() & F.col("bundle").isNull(),
-                F.named_struct(
-                    F.lit("dataElement"), F.col("ok"),
-                    F.lit("observed_time"), F.current_timestamp(),
-                    F.lit("message"), F.lit("invalid FHIR resource for bundle"),
-                    F.lit("stacktrace"), F.lit(None).cast("string"),
-                    F.lit("statusCode"), F.lit(400),
-                ),
-            ).alias("write_err"),
-            F.when(F.col("err").isNull(), F.col("bundle")).alias("bundle"),
-        )
+        return dicom_transform(messages, study_metadata, self.mapping_config)
 
     # ------------------------------------------------------------ streaming
     def read_stream(self, spark: SparkSession, input_path: str) -> DataFrame:
