@@ -373,9 +373,11 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     v = v[p]
                 else:
                     return _MISSING
-            # canonical form for data-derived values: sorted object keys
-            # (matches the column backend's VARIANT behavior; see json_canon)
-            return json_canon.canon_sort(v)
+            # data-derived values are already canonical (the run() entry
+            # canon-sorts the root once); a PROJECTOR RESULT navigated here
+            # must keep its insertion order — sorting it would diverge from
+            # the column backend's named_struct rendering
+            return v
         if isinstance(expr, Call):
             proj = cfg.projectors[expr.name]
             args = [eval_expr(a, env) for a in expr.args]
@@ -442,6 +444,10 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         return out
 
     def run(root_obj) -> dict:
+        # canonical form for data-derived values: sorted object keys,
+        # applied ONCE at the root (matches the column backend's VARIANT
+        # behavior, which sorts object keys in its binary form)
+        root_obj = json_canon.canon_sort(root_obj)
         out: dict[str, list] = {}
         for tgt, expr in cfg.outs:
             v = eval_expr(expr, {"root": root_obj})

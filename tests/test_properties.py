@@ -124,3 +124,58 @@ def test_split_sessions_partitions_by_gap(turns):
     # across boundaries, the gap criterion held
     for s1, s2 in zip(sessions, sessions[1:]):
         assert s2[0][3] - s1[-1][3] >= gap_us
+
+
+# the full round-2 language surface in one config: nested targets, append
+# targets, arrays, builtins, conditionals, chained projectors with static
+# navigation — backend agreement must hold on arbitrary inputs
+EXT_CFG = """
+out Output: Outer(Inner(root));
+def Inner(input) {
+  meta.cat: $ToUpper(input.cat);
+  meta.sig: $Hash(input.bar);
+  items[]: input.bar;
+  items[]: input.nope;
+  pair: [input.bar, "x", input.cat];
+  flag: $If($Eq(input.cat, "go"), "G", "NG");
+  only: $If(input.active, input.bar);
+}
+def Outer(x) {
+  picked: x.meta.cat;
+  first: x.items[0];
+  deep: x;
+}
+"""
+
+_ext_payload = st.one_of(
+    st.builds(
+        lambda v, c, a: json.dumps({"bar": v, "cat": c, "active": a}),
+        _scalar,
+        st.one_of(st.text(max_size=8), st.integers(), st.none()),
+        st.one_of(st.booleans(), st.text(max_size=4), st.none()),
+    ),
+    st.builds(lambda d: json.dumps(d), st.dictionaries(st.text(max_size=8), _scalar, max_size=4)),
+    st.text(max_size=30),  # mostly malformed
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_ext_payload, min_size=1, max_size=30))
+def test_extended_subset_backends_agree(spark, payloads):
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "id string, data string"
+    )
+    clock = "2024-01-01T00:00:00Z"
+    got_c = {
+        r["id"]: (r["ok"], r["err"] is not None)
+        for r in apply_mapping(df, EXT_CFG, backend="columns", clock=clock).collect()
+    }
+    got_p = {
+        r["id"]: (r["ok"], r["err"] is not None)
+        for r in apply_mapping(df, EXT_CFG, backend="pandas", clock=clock).collect()
+    }
+    assert got_c == got_p
