@@ -37,6 +37,7 @@ from .mapping_lang import (
     Arr,
     Builtin,
     Call,
+    Iterate,
     Lit,
     MappingConfig,
     MappingConfigError,
@@ -59,7 +60,10 @@ class CompiledMapping:
         try:
             self.output_column(F.lit("{}"))
             return True
-        except MappingConfigError:
+        except (MappingConfigError, RecursionError):
+            # RecursionError: a recursive projector cannot unroll into a
+            # static expression tree — data-driven recursion depth needs
+            # the pandas backend
             return False
 
     def output_column(self, data_col: Column | str) -> Column:
@@ -75,9 +79,12 @@ class CompiledMapping:
         """Same, over an already-parsed VARIANT root — callers that also need
         the parse result for error detection parse ONCE and share it (JSON
         parsing is the dominant per-row cost; see operators/mapping_op.py)."""
+        env: dict[str, Any] = {"root": root}
+        for name, vexpr in self.config.vars:  # top-level var bindings
+            env[name] = _compile_expr(self.config, vexpr, env)
         targets: dict[str, list[Column]] = {}
         for tgt, expr in self.config.outs:
-            targets.setdefault(tgt, []).append(_render(_compile_expr(self.config, expr, {"root": root})))
+            targets.setdefault(tgt, []).append(_render(_compile_expr(self.config, expr, env)))
         fields = []
         for tgt, items in targets.items():
             # Whistle appends only PRODUCED values to an out target: a
@@ -135,6 +142,21 @@ def _null_variant() -> Column:
     return F.lit(None).cast("variant")
 
 
+def _cond_col(cond) -> Column:
+    """Strict-boolean condition: TRUE iff the value is JSON true (a "true"
+    STRING must not coerce, matching the python backend's `v is True`).
+    A missing value yields NULL — callers decide what NULL means."""
+    if isinstance(cond, _BoolCol):
+        return cond.col
+    if isinstance(cond, Column):
+        return (
+            F.schema_of_variant(cond) == F.lit("BOOLEAN")
+        ) & F.try_variant_get(cond, "$", "boolean")
+    raise MappingConfigError(
+        "column backend: condition must be a data value or a boolean builtin"
+    )
+
+
 def _str_form(jv) -> Column:
     """The JSON-scalar string form of a value (builtin argument coercion).
     Objects/arrays yield NULL (builtins are scalar functions; the python
@@ -170,6 +192,10 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # are data-dependent after missing-filtering, so this cannot
             # resolve statically); try_element_at is 1-based
             idx = parts.pop(0)
+            if base.elem == "struct":
+                raise MappingConfigError(
+                    "column backend: cannot navigate into iterated results"
+                )
             elem_col = F.try_element_at(base.col, F.lit(idx + 1))
             if base.elem != "variant":
                 return _StrCol(elem_col) if not parts else _null_variant()
@@ -180,14 +206,60 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return base
         if not parts:
             return base
+        if not isinstance(base, Column):
+            # e.g. a _StrArr (builtin-result array literal) passed as a
+            # projector argument and then path-navigated: outside the
+            # projective subset — MappingConfigError keeps the clean
+            # backend='auto' fallback contract (a TypeError from
+            # try_variant_get would crash compile instead)
+            raise MappingConfigError(
+                "column backend: cannot navigate a path into this value"
+            )
         path = "$" + "".join(
             f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
         )
         return F.try_variant_get(base, path, "variant")
     if isinstance(expr, Call):
         proj = cfg.projectors[expr.name]
+        iters = [i for i, a in enumerate(expr.args) if isinstance(a, Iterate)]
+        if iters:
+            if len(iters) > 1:
+                # zip-iteration over 2+ arrays: pandas backend territory
+                raise MappingConfigError(
+                    "column backend: at most one iterated argument per call"
+                )
+            it = iters[0]
+            src = _compile_expr(cfg, expr.args[it].path, env)
+            if not isinstance(src, Column):
+                raise MappingConfigError(
+                    "column backend: iterated source must be a data value"
+                )
+            # variant -> array<variant>: NULL for missing/non-array sources
+            # (matching the python backend's _MISSING), then the projector
+            # body is applied INSIDE F.transform — the whole iteration stays
+            # in whole-stage codegen, one lambda per element, no explode
+            arr = F.try_variant_get(src, "$", "array<variant>")
+            fixed = {
+                j: _compile_expr(cfg, a, env)
+                for j, a in enumerate(expr.args)
+                if j != it
+            }
+            tree = nest_fields(proj.fields)
+
+            def body(e):
+                penv = {
+                    p: (e if j == it else fixed[j])
+                    for j, p in enumerate(proj.params)
+                }
+                for vn, vx in proj.vars:
+                    penv[vn] = _compile_expr(cfg, vx, penv)
+                return _render(_compile_tree(cfg, tree, penv))
+
+            return _ArrCol(F.transform(arr, body), "struct")
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         penv = dict(zip(proj.params, args))
+        for vn, vx in proj.vars:  # projector-local var bindings, in order
+            penv[vn] = _compile_expr(cfg, vx, penv)
         return _compile_tree(cfg, nest_fields(proj.fields), penv)
     if isinstance(expr, Builtin):
         args = [_compile_expr(cfg, a, env) for a in expr.args]
@@ -220,38 +292,59 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return _BoolCol(
                 F.coalesce(F.to_json(args[0]) == F.to_json(args[1]), F.lit(False))
             )
+        if expr.name == "$Not":
+            # true iff the value is NOT JSON true: a false/missing/non-bool
+            # condition negates to true (the else-branch desugar target);
+            # coalesce maps the missing-value NULL to true, matching the
+            # python backend's `v is not True`
+            return _BoolCol(F.coalesce(~_cond_col(args[0]), F.lit(True)))
         if expr.name == "$If":
-            cond = args[0]
-            if isinstance(cond, _BoolCol):
-                cond_col = cond.col
-            elif isinstance(cond, Column):
-                # a data value satisfies the condition iff it is JSON true —
-                # STRICTLY boolean-typed (a "true" string must not coerce,
-                # matching the python backend's `cond is True`)
-                cond_col = (
-                    F.schema_of_variant(cond) == F.lit("BOOLEAN")
-                ) & F.try_variant_get(cond, "$", "boolean")
-            else:
-                raise MappingConfigError(
-                    "column backend: $If condition must be a data value or $Eq"
-                )
+            cond_col = _cond_col(args[0])
             branches = args[1:]
-            kinds = {type(b) for b in branches}
-            allowed = all(
-                isinstance(b, (_StrCol, _BoolCol))
-                or (isinstance(b, Column) and not isinstance(b, (_StrCol, _BoolCol)))
-                for b in branches
-            )
-            if not allowed or len(kinds) > 1:
+
+            def _kind(b):
+                if isinstance(b, _StrCol):
+                    return "str"
+                if isinstance(b, _BoolCol):
+                    return "bool"
+                if isinstance(b, _ArrCol):
+                    return ("arr", b.elem)
+                if isinstance(b, _StructVal):
+                    return "struct"
+                if isinstance(b, Column):
+                    return "variant"
+                return "other"  # _StrArr etc.
+
+            def _branch_col(b):
+                if isinstance(b, (_StrCol, _BoolCol, _ArrCol)):
+                    return b.col
+                if isinstance(b, _StructVal):
+                    return _render(b)
+                return b
+
+            kinds = {_kind(b) for b in branches}
+            if "other" in kinds or len(kinds) > 1:
                 raise MappingConfigError(
-                    "column backend: $If branches must be uniform scalar values"
+                    "column backend: $If branches must be uniform values"
                 )
-            then_col = branches[0].col if isinstance(branches[0], (_StrCol, _BoolCol)) else branches[0]
-            w = F.when(cond_col, then_col)
+            k = kinds.pop()
+            if len(branches) == 2 and (k == "struct" or k == ("arr", "struct")):
+                # two independently-shaped struct trees only merge when
+                # their schemas match, which isn't statically checkable
+                # here -> pandas backend
+                raise MappingConfigError(
+                    "column backend: $If with two object-valued branches"
+                )
+            w = F.when(cond_col, _branch_col(branches[0]))
             if len(branches) == 2:
-                else_col = branches[1].col if isinstance(branches[1], (_StrCol, _BoolCol)) else branches[1]
-                w = w.otherwise(else_col)
-            return w if isinstance(branches[0], Column) else type(branches[0])(w)
+                w = w.otherwise(_branch_col(branches[1]))
+            if k == "str":
+                return _StrCol(w)
+            if k == "bool":
+                return _BoolCol(w)
+            if isinstance(k, tuple):
+                return _ArrCol(w, k[1])
+            return w  # variant, or a single-branch struct (NULL when false)
         raise MappingConfigError(f"column backend cannot compile {expr!r}")
     if isinstance(expr, Arr):
         items = [_compile_expr(cfg, it, env) for it in expr.items]
@@ -380,11 +473,46 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             return v
         if isinstance(expr, Call):
             proj = cfg.projectors[expr.name]
+            iters = {i for i, a in enumerate(expr.args) if isinstance(a, Iterate)}
+            if iters:
+                # array iteration: map the projector over the iterated
+                # array(s) element-wise; fixed args broadcast; multiple
+                # iterated args zip to the longest (short -> missing);
+                # a missing/non-array source yields missing
+                arrs: dict[int, list] = {}
+                fixed: dict[int, Any] = {}
+                for i, a in enumerate(expr.args):
+                    if i in iters:
+                        v = eval_expr(a.path, env)
+                        if not isinstance(v, list):
+                            return _MISSING
+                        arrs[i] = v
+                    else:
+                        fixed[i] = eval_expr(a, env)
+                n = max(len(v) for v in arrs.values())
+                out_list = []
+                for j in range(n):
+                    penv = {}
+                    for i, p in enumerate(proj.params):
+                        if i in arrs:
+                            penv[p] = arrs[i][j] if j < len(arrs[i]) else _MISSING
+                        else:
+                            penv[p] = fixed[i]
+                    for vn, vx in proj.vars:
+                        penv[vn] = eval_expr(vx, penv)
+                    out_list.append(eval_tree(trees[expr.name], penv))
+                return out_list
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
+            for vn, vx in proj.vars:  # projector-local vars, in order
+                penv[vn] = eval_expr(vx, penv)
             return eval_tree(trees[expr.name], penv)
         if isinstance(expr, Builtin):
             vals = [eval_expr(a, env) for a in expr.args]
+            if expr.name == "$Not":
+                # strict: true iff the value is NOT JSON true (missing,
+                # false, and non-boolean all negate to true)
+                return vals[0] is not True
             if expr.name == "$Eq":
                 a, b = vals
                 if a is _MISSING or b is _MISSING:
@@ -448,9 +576,12 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         # applied ONCE at the root (matches the column backend's VARIANT
         # behavior, which sorts object keys in its binary form)
         root_obj = json_canon.canon_sort(root_obj)
+        env: dict[str, Any] = {"root": root_obj}
+        for vn, vx in cfg.vars:  # top-level var bindings, in order
+            env[vn] = eval_expr(vx, env)
         out: dict[str, list] = {}
         for tgt, expr in cfg.outs:
-            v = eval_expr(expr, {"root": root_obj})
+            v = eval_expr(expr, env)
             out.setdefault(tgt, [])
             if v is not _MISSING:
                 out[tgt].append(v)

@@ -13,13 +13,23 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   nested objects, insertion-ordered, conflicts rejected at compile time
 * array-append target fields (``items[]: expr;``) — produced values
   accumulate in declaration order (missing appends nothing)
+* ``var <name>: <expr>;`` bindings — at the top level (before ``out``
+  statements) and at the top of projector bodies (before field mappings);
+  each binding may reference params/``root`` and earlier vars
+* ``if <cond> { fields } else { fields }`` blocks inside projector bodies —
+  desugared at parse time into per-field ``$If``/``$Not`` conditionals
+  (a field assigned in both branches merges into one ``$If(c, a, b)``;
+  a branch-only field is omitted when its branch is not taken); nestable
 * expressions: dotted paths (``input.bar.baz``), array element access
   (``input.items[0].name``), string/number/bool/null literals, projector
   calls (``Test(root)``, whose results may themselves be arguments to other
-  projectors), array construction (``[a, b, c]`` — a missing element
-  renders as JSON null, preserving positions), builtin calls
-  (``$ToUpper/$ToLower/$StrCat/$Hash``), conditionals (``$Eq``/``$If``,
-  strict-boolean, canonical-JSON equality), ``root`` = whole input
+  projectors), array iteration (``Test(input.items[])`` — the projector
+  maps over the array source element-wise, producing an array; a missing
+  or non-array source yields missing), array construction (``[a, b, c]``
+  — a missing element renders as JSON null, preserving positions), builtin
+  calls (``$ToUpper/$ToLower/$StrCat/$Hash``), conditionals
+  (``$Eq``/``$If``/``$Not``, strict-boolean, canonical-JSON equality),
+  ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -68,6 +78,15 @@ class Arr:
     items: tuple
 
 
+@dataclass(frozen=True)
+class Iterate:
+    """``path[]`` as a projector-call argument: map the projector over the
+    array at ``path`` element-wise (Whistle array iteration). Only valid as
+    a direct argument of a projector call."""
+
+    path: Path
+
+
 # builtin name -> (min_arity, max_arity or None = unbounded)
 BUILTINS: dict[str, tuple[int, int | None]] = {
     "$ToUpper": (1, 1),
@@ -76,9 +95,12 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$Hash": (1, 1),
     # conditionals: $Eq compares canonical JSON renderings; $If(cond, then[,
     # else]) takes the then-branch iff cond is JSON true (a missing else
-    # omits the field)
+    # omits the field); $Not(v) is true iff v is NOT JSON true (so a
+    # missing/non-boolean condition negates to true — the else-branch
+    # desugar target)
     "$Eq": (2, 2),
     "$If": (2, 3),
+    "$Not": (1, 1),
 }
 
 
@@ -89,6 +111,9 @@ class Projector:
     # (target_path, expr, append): append=True for ``path[]: expr`` fields,
     # which accumulate into an array in declaration order
     fields: tuple[tuple[tuple[str, ...], object, bool], ...]
+    # ordered ``var name: expr;`` bindings, evaluated before the fields;
+    # each may reference the params and earlier vars
+    vars: tuple[tuple[str, object], ...] = ()
 
 
 def nest_fields(fields) -> dict:
@@ -135,17 +160,28 @@ def nest_fields(fields) -> dict:
 class MappingConfig:
     outs: list[tuple[str, object]] = field(default_factory=list)  # (target, expr)
     projectors: dict[str, Projector] = field(default_factory=dict)
+    vars: list[tuple[str, object]] = field(default_factory=list)  # top-level
 
     def validate(self) -> "MappingConfig":
         if not self.outs:
             raise MappingConfigError("config defines no output (no 'out' or root_mapping)")
+        bound = ["root"]
+        for name, vexpr in self.vars:
+            self._check(vexpr, bound=tuple(bound))
+            if name in bound:
+                raise MappingConfigError(f"duplicate var binding '{name}'")
+            bound.append(name)
         for tgt, expr in self.outs:
-            self._check(expr, bound=("root",))
+            self._check(expr, bound=tuple(bound))
         return self
 
-    def _check(self, expr, bound: tuple[str, ...]) -> None:
+    def _check(self, expr, bound: tuple[str, ...], _stack: frozenset = frozenset()) -> None:
         if isinstance(expr, Lit):
             return
+        if isinstance(expr, Iterate):
+            raise MappingConfigError(
+                "iteration (path[]) is only valid as a projector-call argument"
+            )
         if isinstance(expr, Path):
             if expr.var not in bound:
                 raise MappingConfigError(f"unbound variable '{expr.var}'")
@@ -159,10 +195,24 @@ class MappingConfig:
                     f"projector '{expr.name}' takes {len(proj.params)} args, got {len(expr.args)}"
                 )
             for a in expr.args:
-                self._check(a, bound)
+                # an Iterate argument contributes its inner path, bound in
+                # the CALLER's scope; the callee sees a plain element value
+                self._check(a.path if isinstance(a, Iterate) else a, bound, _stack)
+            if expr.name in _stack:
+                return  # recursive projector: body already being checked
+            stack = _stack | {expr.name}
             nest_fields(proj.fields)  # nested-target conflicts fail at compile
+            pbound = list(proj.params)
+            for vname, vexpr in proj.vars:
+                self._check(vexpr, bound=tuple(pbound), _stack=stack)
+                if vname in pbound:
+                    raise MappingConfigError(
+                        f"var '{vname}' shadows a parameter or earlier var "
+                        f"in projector '{expr.name}'"
+                    )
+                pbound.append(vname)
             for _, fexpr, _append in proj.fields:
-                self._check(fexpr, bound=proj.params)
+                self._check(fexpr, bound=tuple(pbound), _stack=stack)
             return
         if isinstance(expr, Builtin):
             spec = BUILTINS.get(expr.name)
@@ -174,11 +224,11 @@ class MappingConfig:
                     f"builtin '{expr.name}' arity mismatch: got {len(expr.args)}"
                 )
             for a in expr.args:
-                self._check(a, bound)
+                self._check(a, bound, _stack)
             return
         if isinstance(expr, Arr):
             for it in expr.items:
-                self._check(it, bound)
+                self._check(it, bound, _stack)
             return
         raise MappingConfigError(f"unsupported expression node: {expr!r}")
 
@@ -228,7 +278,7 @@ class _Parser:
             raise MappingConfigError(f"expected {value or kind}, got {v!r}")
         return v
 
-    # config := (out | def | root_mapping)*
+    # config := (var | out | def | root_mapping)*
     def parse_config(self) -> MappingConfig:
         cfg = MappingConfig()
         while self.peek()[0] != "eof":
@@ -240,6 +290,17 @@ class _Parser:
                 expr = self.parse_expr()
                 self.expect(value=";")
                 cfg.outs.append((target, expr))
+            elif k == "ident" and v == "var":
+                self.next()
+                name = self.expect("ident")
+                self.expect(value=":")
+                expr = self.parse_expr()
+                self.expect(value=";")
+                if cfg.outs:
+                    raise MappingConfigError(
+                        "top-level var bindings must precede out statements"
+                    )
+                cfg.vars.append((name, expr))
             elif k == "ident" and v == "def":
                 self.next()
                 name = self.expect("ident")
@@ -250,23 +311,11 @@ class _Parser:
                     params.append(self.expect("ident"))
                 self.expect(value=")")
                 self.expect(value="{")
-                fields = []
-                while self.peek()[1] != "}":
-                    fpath = [self.expect("ident")]
-                    while self.peek()[1] == ".":
-                        self.next()
-                        fpath.append(self.expect("ident"))
-                    append = False
-                    if self.peek()[1] == "[":  # `path[]:` array-append target
-                        self.next()
-                        self.expect(value="]")
-                        append = True
-                    self.expect(value=":")
-                    fexpr = self.parse_expr()
-                    self.expect(value=";")
-                    fields.append((tuple(fpath), fexpr, append))
+                fields, pvars = self._parse_body(allow_vars=True)
                 self.expect(value="}")
-                cfg.projectors[name] = Projector(name, tuple(params), tuple(fields))
+                cfg.projectors[name] = Projector(
+                    name, tuple(params), tuple(fields), tuple(pvars)
+                )
             elif k == "ident" and v == "root_mapping":
                 self.next()
                 target, src = self._parse_root_mapping_block()
@@ -274,6 +323,62 @@ class _Parser:
             else:
                 raise MappingConfigError(f"unexpected token {v!r} (expected out/def/root_mapping)")
         return cfg.validate()
+
+    def _parse_body(self, allow_vars: bool):
+        """Projector-body statements up to (not consuming) the closing '}':
+        optional leading ``var`` bindings, then field mappings and ``if``
+        blocks (desugared in place to conditional fields)."""
+        fields: list = []
+        pvars: list = []
+        while self.peek()[1] != "}":
+            k, v = self.peek()
+            if k == "eof":
+                raise MappingConfigError("unterminated block (missing '}')")
+            if k == "ident" and v == "var":
+                self.next()
+                vname = self.expect("ident")
+                self.expect(value=":")
+                vexpr = self.parse_expr()
+                self.expect(value=";")
+                if not allow_vars or fields:
+                    raise MappingConfigError(
+                        "var bindings must appear at the top of a projector body"
+                    )
+                pvars.append((vname, vexpr))
+            elif k == "ident" and v == "if":
+                fields.extend(self._parse_if_block())
+            else:
+                fields.append(self._parse_field())
+        return fields, pvars
+
+    def _parse_field(self):
+        fpath = [self.expect("ident")]
+        while self.peek()[1] == ".":
+            self.next()
+            fpath.append(self.expect("ident"))
+        append = False
+        if self.peek()[1] == "[":  # `path[]:` array-append target
+            self.next()
+            self.expect(value="]")
+            append = True
+        self.expect(value=":")
+        fexpr = self.parse_expr()
+        self.expect(value=";")
+        return (tuple(fpath), fexpr, append)
+
+    def _parse_if_block(self):
+        self.expect(value="if")
+        cond = self.parse_expr()
+        self.expect(value="{")
+        then_fields, _ = self._parse_body(allow_vars=False)
+        self.expect(value="}")
+        else_fields: list = []
+        if self.peek() == ("ident", "else"):
+            self.next()
+            self.expect(value="{")
+            else_fields, _ = self._parse_body(allow_vars=False)
+            self.expect(value="}")
+        return _desugar_if(cond, then_fields, else_fields)
 
     def _parse_root_mapping_block(self) -> tuple[str, str]:
         """textproto: root_mapping { value_source { from_source: "." } target_object: "x" }"""
@@ -352,9 +457,12 @@ class _Parser:
                 if self.peek()[1] == ".":
                     self.next()
                     parts.append(self.expect("ident"))
-                else:  # [n] — array element access
+                else:
                     self.next()
-                    num = self.expect("number")
+                    if self.peek()[1] == "]":  # `path[]` — iteration marker
+                        self.next()
+                        return Iterate(Path(v, tuple(parts)))
+                    num = self.expect("number")  # [n] — array element access
                     if "." in num or num.startswith("-"):
                         raise MappingConfigError(
                             f"array index must be a non-negative integer, got {num!r}"
@@ -363,6 +471,30 @@ class _Parser:
                     self.expect(value="]")
             return Path(v, tuple(parts))
         raise MappingConfigError(f"unexpected token {v!r} in expression")
+
+
+def _desugar_if(cond, then_fields, else_fields):
+    """Desugar an ``if cond { ... } else { ... }`` block into conditional
+    field entries: then-only -> ``$If(c, e)``; a leaf assigned in BOTH
+    branches merges into ``$If(c, a, b)`` at its then position; else-only
+    -> ``$If($Not(c), e)``. Append targets never merge — each entry appends
+    only when its branch is taken. Declaration order: then entries first,
+    then the remaining else entries."""
+    else_leaf = {p: e for p, e, ap in else_fields if not ap}
+    merged: set = set()
+    out = []
+    for path, expr, append in then_fields:
+        if not append and path in else_leaf:
+            out.append((path, Builtin("$If", (cond, expr, else_leaf[path])), False))
+            merged.add(path)
+        else:
+            out.append((path, Builtin("$If", (cond, expr)), append))
+    neg = Builtin("$Not", (cond,))
+    for path, expr, append in else_fields:
+        if not append and path in merged:
+            continue
+        out.append((path, Builtin("$If", (neg, expr)), append))
+    return out
 
 
 def _path_from_source(src: str) -> Path:

@@ -116,7 +116,8 @@ def resolve_imports(text: str, import_root: str, read_file) -> str:
             "config contains import statements; re-run with an import_root"
         )
 
-    seen: set[str] = set()
+    spliced: set[str] = set()  # files already inlined anywhere in the tree
+    stack: list[str] = []  # the ACTIVE import chain — only this detects cycles
 
     def resolve(t: str) -> str:
         def splice(m: re.Match) -> str:
@@ -124,18 +125,29 @@ def resolve_imports(text: str, import_root: str, read_file) -> str:
             norm = os.path.normpath(rel)
             if norm.startswith("..") or os.path.isabs(norm):
                 raise MappingConfigError(f"import escapes import_root: {rel!r}")
-            if norm in seen:
-                # a second import of the same file would duplicate its
-                # projector definitions; a cycle would never terminate
-                raise MappingConfigError(f"duplicate or cyclic import {rel!r}")
-            seen.add(norm)
+            if norm in stack:
+                raise MappingConfigError(
+                    f"cyclic import {rel!r} (chain: {' -> '.join(stack)})"
+                )
+            if norm in spliced:
+                # diamond import (two libraries sharing a third): the file
+                # is already inlined once, and Whistle tolerates this layout
+                # because the reference mirrors the importRoot tree and lets
+                # the engine resolve shared imports — splice empty instead
+                # of duplicating its projector definitions
+                return ""
+            spliced.add(norm)
             try:
                 imported = read_file(import_root, norm)
             except FileNotFoundError:
                 raise MappingConfigError(
                     f"imported config not found under import_root: {rel!r}"
                 ) from None
-            return resolve(imported)
+            stack.append(norm)
+            try:
+                return resolve(imported)
+            finally:
+                stack.pop()
 
         return _IMPORT_RE.sub(splice, t)
 

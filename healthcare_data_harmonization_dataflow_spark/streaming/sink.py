@@ -39,7 +39,8 @@ from urllib.parse import urlparse
 
 import pyarrow.parquet as pq
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 _PART_RE = re.compile(r"part-(\d+)-")
 
@@ -66,6 +67,13 @@ class _LocalFs:
 
     def listdir(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        """(name, byte size) pairs — one directory scan."""
+        return sorted(
+            (f, os.path.getsize(os.path.join(path, f)))
+            for f in os.listdir(path)
+        )
 
     def read_text(self, path: str) -> str:
         with open(path, encoding="utf-8") as f:
@@ -99,7 +107,11 @@ class _HadoopFs:
         return self._jvm.org.apache.hadoop.fs.Path(uri)
 
     def mkdirs(self, path: str) -> None:
-        self._fs.mkdirs(self._path(path))
+        # Hadoop reports most failures by returning false, not throwing —
+        # an unchecked false here would let a failed commit-marker write
+        # pass silently (checkpoint advances, batch never replays)
+        if not self._fs.mkdirs(self._path(path)):
+            raise IOError(f"mkdirs failed: {path}")
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._path(path))
@@ -111,6 +123,12 @@ class _HadoopFs:
     def listdir(self, path: str) -> list[str]:
         statuses = self._fs.listStatus(self._path(path))
         return sorted(s.getPath().getName() for s in statuses)
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        """(name, byte size) pairs from ONE listStatus call — the statuses
+        already carry lengths, so lineage needs no per-file open/read."""
+        statuses = self._fs.listStatus(self._path(path))
+        return sorted((s.getPath().getName(), s.getLen()) for s in statuses)
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._path(path))
@@ -135,12 +153,19 @@ class _HadoopFs:
         finally:
             out.close()
         dst = self._path(path)
-        if self._fs.exists(dst):
-            self._fs.delete(dst, False)
-        self._fs.rename(tmp, dst)  # atomic on HDFS; emulated on object stores
+        if self._fs.exists(dst) and not self._fs.delete(dst, False):
+            raise IOError(f"delete of stale commit target failed: {path}")
+        # atomic on HDFS; emulated on object stores. rename reports failure
+        # by returning false — raising makes foreachBatch fail so the
+        # checkpoint does NOT advance and the batch replays (the alternative
+        # is silent data loss: read_committed would never see this batch)
+        if not self._fs.rename(tmp, dst):
+            raise IOError(f"atomic commit rename failed: {tmp} -> {path}")
 
     def delete(self, path: str) -> None:
-        self._fs.delete(self._path(path), True)
+        p = self._path(path)
+        if not self._fs.delete(p, True) and self._fs.exists(p):
+            raise IOError(f"recursive delete failed: {path}")
 
     def parquet_rows(self, path: str) -> int:
         hif = self._jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -213,27 +238,37 @@ class ExactlyOnceParquetSink:
         out = df
         if self.num_shards:
             out = out.coalesce(self.num_shards)
+        # exact row count rides the write itself via an Observation — no
+        # second pass, no per-file I/O, fully distributed (the count is
+        # aggregated executor-side during the one write job)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         fs = self._fs()
+        local = _is_local(self.base_dir)
         path = self._data_dir(batch_id)
         out.write.mode("overwrite").parquet(path)
-        # per-partition lineage from the written files' parquet footers:
-        # one task = one part file, and a footer read is metadata-only — no
-        # cache of the batch, no second Spark pass (a cached 100 TB batch
-        # would spill; a footer listing is O(files))
+        total_rows = int(obs.get["rows"])
+        # per-partition lineage from ONE directory listing (names + byte
+        # sizes come from the same listStatus). Per-file row counts are
+        # added from parquet footers only on the local fast path — on a
+        # remote FS a footer read is an open+seek+read round trip per file,
+        # which at 10k-file batches serializes the driver; bytes + the
+        # observed exact total carry the same lineage information there.
         lineage = []
-        for i, fname in enumerate(fs.listdir(path)):
+        for i, (fname, size) in enumerate(fs.list_files(path)):
             if not fname.endswith(".parquet") or fname.startswith((".", "_")):
                 continue
-            lineage.append(
-                {
-                    "partition_id": _partition_id(fname, i),
-                    "rows": fs.parquet_rows(os.path.join(path, fname)),
-                    "file": fname,
-                }
-            )
+            part = {
+                "partition_id": _partition_id(fname, i),
+                "bytes": size,
+                "file": fname,
+            }
+            if local:
+                part["rows"] = fs.parquet_rows(os.path.join(path, fname))
+            lineage.append(part)
         commit = {
             "batch_id": batch_id,
-            "rows": sum(p["rows"] for p in lineage),
+            "rows": total_rows,
             "partitions": sorted(lineage, key=lambda p: p["partition_id"]),
             "committed_at": time.time(),
             "sink": self.name,
@@ -313,12 +348,19 @@ class FanOutSink:
                 else _HadoopFs(df.sparkSession, self.staging_dir)
             )
             staged_path = os.path.join(self.staging_dir, f"batch={batch_id}")
-            df.write.mode("overwrite").parquet(staged_path)
+            # Reuse an existing COMPLETE staged copy (previous attempt that
+            # failed after staging but before all routes committed): with a
+            # nondeterministic upstream (e.g. attempt_ingest's real RPCs),
+            # re-executing the plan would let already-committed sinks and
+            # retried sinks disagree. One execution's results must feed
+            # every sink across retries; _SUCCESS marks completeness.
+            if not fs.exists(os.path.join(staged_path, "_SUCCESS")):
+                df.write.mode("overwrite").parquet(staged_path)
             staged = df.sparkSession.read.parquet(staged_path)
-            try:
-                for sink, selector in self.routes:
-                    sink.write_batch(selector(staged), batch_id)
-            finally:
-                fs.delete(staged_path)
+            for sink, selector in self.routes:
+                sink.write_batch(selector(staged), batch_id)
+            # delete staging only after ALL routes committed — a partial
+            # failure keeps the staged copy for the retry to reuse
+            fs.delete(staged_path)
 
         return fn

@@ -431,12 +431,21 @@ def test_append_array_in_expressions_falls_back(spark):
         "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
         "def B(x) { wrapped: [x.items]; }",
         "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
-        "def B(x) { pick: $If(x.f, x.items, x.items); }",
-        "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
         "def B(x) { nested[]: x.items; }",
     ):
         m = compile_mapping(cfg)
         assert m.supports_columns() is False, cfg
+    # since round 3 an append-array is a legal $If branch (same-elem arrays
+    # merge in a when()): stays projective and agrees with pandas
+    if_cfg = (
+        "out Output: B(A(root));\ndef A(input) { items[]: input.a; }\n"
+        "def B(x) { pick: $If(x.missing, x.items, x.items); }"
+    )
+    assert compile_mapping(if_cfg).supports_columns() is True
+    dfi = spark.createDataFrame([("x", '{"a":1}')], "id string, data string")
+    for be in ("columns", "pandas"):
+        got = ok_rows(apply_mapping(dfi, if_cfg, backend=be)).collect()[0]["ok"]
+        assert got == '{"Output":[{"pick":[1]}]}', be
     df = spark.createDataFrame([("x", '{"a":1}')], "id string, data string")
     res = ok_rows(
         apply_mapping(
@@ -456,3 +465,213 @@ def test_custom_report_only_applies_on_projective_configs(spark):
     with pytest.raises(Exception) as ei:
         res.collect()
     assert "RecoverableMappingError" in str(ei.value)
+
+
+# ------------------------------------------- round-3 Whistle breadth: var/if/iterate
+VAR_CONFIG = """
+var who: root.name;
+out Output: P(root);
+out Names: who;
+def P(input) {
+  var k: input.k;
+  var tag: $StrCat($ToUpper(input.name), "-", k);
+  n: k;
+  label: tag;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_var_bindings_golden(spark, backend):
+    """Top-level and projector-local var bindings, each referencing params
+    and earlier vars — byte-identical on both backends."""
+    df = spark.createDataFrame([("a", '{"name":"bo","k":3}')], "id string, data string")
+    res = ok_rows(apply_mapping(df, VAR_CONFIG, backend=backend, clock=CLOCK))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"n":3,"label":"BO-3"}],"Names":["bo"]}'
+    )
+
+
+def test_var_binding_validation():
+    # vars must precede fields in a projector body
+    with pytest.raises(MappingConfigError, match="top of a projector body"):
+        compile_mapping("out O: P(root);\ndef P(i) { a: i.x; var v: i.y; b: v; }")
+    # top-level vars must precede out statements
+    with pytest.raises(MappingConfigError, match="precede out"):
+        compile_mapping("out O: root.x;\nvar v: root.y;")
+    # a var may not shadow a param
+    with pytest.raises(MappingConfigError, match="shadows"):
+        compile_mapping("out O: P(root);\ndef P(i) { var i: i.x; a: i; }")
+    # var exprs see only earlier bindings
+    with pytest.raises(MappingConfigError, match="unbound"):
+        compile_mapping("out O: P(root);\ndef P(i) { var a: b; var b: i.x; c: a; }")
+
+
+IF_CONFIG = """
+out Output: P(root);
+def P(input) {
+  if $Eq(input.type, "a") {
+    cat: "alpha";
+    only_then: input.k;
+    tags[]: "t-then";
+  } else {
+    cat: "other";
+    only_else: input.type;
+    tags[]: "t-else";
+  }
+  if input.flag {
+    f: "on";
+    if $Eq(input.k, 1) {
+      deep: "one";
+    }
+  }
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_if_else_blocks_golden(spark, backend):
+    """Block conditionals: merged both-branch leaf, branch-only fields,
+    conditional append targets, nested if, bare-path condition (strict
+    boolean: missing/non-bool flag -> branch not taken)."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"type":"a","k":1,"flag":true}'),
+            ("b", '{"type":"b","k":2}'),
+            ("c", '{"type":"a","k":2,"flag":"true"}'),  # string must not coerce
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, IF_CONFIG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"cat":"alpha","only_then":1,"tags":["t-then"],'
+        '"f":"on","deep":"one"}]}'
+    )
+    assert oks["b"] == (
+        '{"Output":[{"cat":"other","tags":["t-else"],"only_else":"b"}]}'
+    )
+    assert oks["c"] == (
+        '{"Output":[{"cat":"alpha","only_then":2,"tags":["t-then"]}]}'
+    )
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_not_builtin_golden(spark, backend):
+    """$Not is strict: true iff the value is NOT JSON true — false, missing
+    and non-boolean values all negate to true."""
+    cfg = """
+out Output: P(root);
+def P(input) {
+  not_true: $Not(input.t);
+  not_false: $Not(input.f);
+  not_missing: $Not(input.nope);
+  not_str: $Not(input.s);
+}
+"""
+    df = spark.createDataFrame(
+        [("a", '{"t":true,"f":false,"s":"true"}')], "id string, data string"
+    )
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"not_true":false,"not_false":true,'
+        '"not_missing":true,"not_str":true}]}'
+    )
+
+
+ITER_CONFIG = """
+out Output: P(root);
+def P(input) {
+  people: Person(input.people[], input.org);
+}
+def Person(p, org) {
+  name: $ToUpper(p.name);
+  org: org;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_iteration_golden(spark, backend):
+    """Array iteration Proj(input.items[]): the projector maps element-wise
+    (fixed args broadcast); empty array -> empty array; missing or
+    non-array source -> field omitted."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"people":[{"name":"bo"},{"name":"al"}],"org":"x"}'),
+            ("b", '{"people":[],"org":"y"}'),
+            ("c", '{"org":"z"}'),
+            ("d", '{"people":"oops","org":"w"}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, ITER_CONFIG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"people":[{"name":"BO","org":"x"},{"name":"AL","org":"x"}]}]}'
+    )
+    assert oks["b"] == '{"Output":[{"people":[]}]}'
+    assert oks["c"] == '{"Output":[{}]}'
+    assert oks["d"] == '{"Output":[{}]}'
+
+
+def test_iteration_validation_and_fallback(spark):
+    # iteration outside a projector-call argument is rejected at compile
+    with pytest.raises(MappingConfigError, match="projector-call argument"):
+        compile_mapping("out O: root.items[];")
+    with pytest.raises(MappingConfigError, match="projector-call argument"):
+        compile_mapping(
+            "out O: P(root);\ndef P(i) { x: $ToUpper(i.items[]); }"
+        )
+    # two iterated args: zip semantics — pandas-only (columns falls back)
+    zip_cfg = """
+out Output: P(root);
+def P(input) { pairs: Z(input.a[], input.b[]); }
+def Z(x, y) { l: x; r: y; }
+"""
+    m = compile_mapping(zip_cfg)
+    assert m.supports_columns() is False
+    df = spark.createDataFrame(
+        [("a", '{"a":[1,2,3],"b":["x","y"]}')], "id string, data string"
+    )
+    res = ok_rows(apply_mapping(df, zip_cfg, clock=CLOCK))
+    # zip to the longest: the short side's missing element omits its field
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"pairs":[{"l":1,"r":"x"},{"l":2,"r":"y"},{"l":3}]}]}'
+    )
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_iterate_if_var_combined_golden(spark, backend):
+    """The round-3 features compose: vars feeding an if/else whose branches
+    build fields over an iterated projector call — still projective."""
+    cfg = """
+out Output: P(root);
+def P(input) {
+  var arr: input.xs;
+  if $Eq(input.mode, "up") {
+    vals: U(arr[]);
+  } else {
+    n: input.mode;
+  }
+}
+def U(e) { v: $ToUpper(e.s); }
+"""
+    df = spark.createDataFrame(
+        [("a", '{"mode":"up","xs":[{"s":"p"},{"s":"q"}]}'),
+         ("b", '{"mode":"dn","xs":[{"s":"p"}]}')],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == '{"Output":[{"vals":[{"v":"P"},{"v":"Q"}]}]}'
+    assert oks["b"] == '{"Output":[{"n":"dn"}]}'
+
+
+def test_recursive_projector_falls_back_not_hangs():
+    """A self-recursive projector can't unroll into a static column tree:
+    supports_columns() must return False (via the recursion guard), and
+    compile-time validation must terminate."""
+    cfg = "out O: P(root);\ndef P(i) { x: i.a; again: P(i); }"
+    m = compile_mapping(cfg)  # _check terminates via the call-stack guard
+    assert m.supports_columns() is False

@@ -107,3 +107,43 @@ def test_cache_keys_on_import_root(tmp_path):
     t1 = prov.get_mapping_config(import_root=str(tmp_path / "r1"))
     t2 = prov.get_mapping_config(import_root=str(tmp_path / "r2"))
     assert "a: i.x" in t1 and "b: i.y" in t2 and t1 != t2
+
+
+def test_diamond_imports_allowed(config_tree):
+    """Two library files importing a shared third is a legitimate layout
+    (the reference mirrors the importRoot tree and lets Whistle resolve
+    shared imports): the shared file splices ONCE, later imports of it are
+    no-ops — not 'cyclic import' errors. Cycles are still rejected via the
+    active-import-stack check."""
+    (config_tree / "lib" / "shared.wstl").write_text(
+        "def Shared(input) { s: input.s; }\n"
+    )
+    (config_tree / "lib" / "a.wstl").write_text(
+        'import "lib/shared.wstl";\ndef A(input) { a: Shared(input); }\n'
+    )
+    (config_tree / "lib" / "b.wstl").write_text(
+        'import "lib/shared.wstl";\ndef B(input) { b: Shared(input); }\n'
+    )
+    (config_tree / "dia.wstl").write_text(
+        'import "lib/a.wstl";\nimport "lib/b.wstl";\nout O: A(root);\nout O: B(root);\n'
+    )
+    text = load_mapping_config(
+        str(config_tree / "dia.wstl"), import_root=str(config_tree)
+    )
+    assert text.count("def Shared") == 1  # spliced exactly once
+    assert "def A" in text and "def B" in text and "import" not in text
+    # the resolved config parses and runs
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_compile import (
+        compile_mapping,
+    )
+    assert compile_mapping(text).transform('{"s":1}') == (
+        '{"O":[{"a":{"s":1}},{"b":{"s":1}}]}'
+    )
+    # a true cycle through the diamond layout still fails fast
+    (config_tree / "lib" / "c1.wstl").write_text('import "lib/c2.wstl";\n')
+    (config_tree / "lib" / "c2.wstl").write_text('import "lib/c1.wstl";\n')
+    (config_tree / "cyc2.wstl").write_text('import "lib/c1.wstl";\nout O: P(root);\n')
+    with pytest.raises(MappingConfigError, match="cyclic"):
+        load_mapping_config(
+            str(config_tree / "cyc2.wstl"), import_root=str(config_tree)
+        )

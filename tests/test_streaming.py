@@ -567,3 +567,96 @@ def test_state_blob_version_tag():
         _unpack_turns(pickle.dumps(turns))  # un-versioned legacy blob
     with pytest.raises(ValueError, match="incompatible"):
         _unpack_turns(b"")
+
+
+def test_fanout_partial_failure_reuses_staged_batch(spark, tmp_path):
+    """A route failing mid-fanout must leave the staged copy in place, and
+    the retry must feed every sink from that SAME staged copy (one
+    execution's results across retries) — with a nondeterministic upstream,
+    re-staging would let committed and retried sinks disagree. Staging is
+    deleted only after all routes commit."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+        FanOutSink,
+    )
+    import pyspark.sql.functions as F
+
+    a = ExactlyOnceParquetSink(str(tmp_path / "a"), "a")
+    b = ExactlyOnceParquetSink(str(tmp_path / "b"), "b")
+    boom = {"armed": True}
+
+    def b_select(d):
+        if boom["armed"]:
+            raise RuntimeError("transient route failure")
+        return d.filter(F.col("n") % 2 == 1)
+
+    fan = FanOutSink(
+        [(a, lambda d: d.filter(F.col("n") % 2 == 0)), (b, b_select)],
+        staging_dir=str(tmp_path / "staging"),
+    )
+    # nondeterministic upstream: rand() would re-roll on re-execution
+    df = (
+        spark.range(100)
+        .selectExpr("cast(id as string) conv_id", "id n")
+        .withColumn("r", F.rand(seed=None))
+    )
+    fn = fan.foreach_batch()
+    with pytest.raises(RuntimeError, match="transient"):
+        fn(df, 0)
+    # first route committed, staged copy retained for the retry
+    assert a.committed_batches() == [0]
+    staged = str(tmp_path / "staging" / "batch=0")
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    a_first = sorted(r["r"] for r in a.read_committed(spark).collect())
+
+    boom["armed"] = False
+    fn(df, 0)  # retry: must NOT re-execute the upstream plan
+    assert b.committed_batches() == [0]
+    assert not os.path.exists(staged)  # cleaned only after full commit
+    # the committed route's rows are identical across the retry, and the
+    # second route's rows come from the same staged execution
+    assert sorted(r["r"] for r in a.read_committed(spark).collect()) == a_first
+    all_r = sorted(
+        r["r"]
+        for sink in (a, b)
+        for r in sink.read_committed(spark).collect()
+    )
+    assert len(all_r) == 100 and len(set(all_r)) == 100
+
+
+def test_sink_lineage_has_bytes_and_observed_rows(spark, tmp_path):
+    """Round-3 lineage: the exact row count comes from an Observation riding
+    the write job (no second pass), per-partition entries carry byte sizes
+    from ONE directory listing; on the Hadoop-FS path no per-file footer
+    reads happen at all."""
+    from healthcare_data_harmonization_dataflow_spark.streaming import sink as sink_mod
+    from healthcare_data_harmonization_dataflow_spark.streaming.sink import (
+        ExactlyOnceParquetSink,
+    )
+
+    base = "file://" + str(tmp_path / "hsink")
+    s = ExactlyOnceParquetSink(base, "t", spark=spark)
+    df = spark.range(75).selectExpr("cast(id as string) conv_id", "id n")
+    calls = {"n": 0}
+    orig = sink_mod._HadoopFs.parquet_rows
+
+    def counting(self, path):
+        calls["n"] += 1
+        return orig(self, path)
+
+    sink_mod._HadoopFs.parquet_rows = counting
+    try:
+        s.write_batch(df.repartition(3), 0)
+    finally:
+        sink_mod._HadoopFs.parquet_rows = orig
+    assert calls["n"] == 0  # zero footer round-trips on the remote path
+    lin = s.lineage()[0]
+    assert lin["rows"] == 75  # exact, from the Observation
+    assert len(lin["partitions"]) == 3
+    assert all(p["bytes"] > 0 for p in lin["partitions"])
+    # local path still enriches lineage with per-file row counts
+    s2 = ExactlyOnceParquetSink(str(tmp_path / "lsink"), "t2")
+    s2.write_batch(df.repartition(3), 0)
+    lin2 = s2.lineage()[0]
+    assert lin2["rows"] == 75
+    assert sum(p["rows"] for p in lin2["partitions"]) == 75
