@@ -133,6 +133,60 @@ def q_mapping_nested(spark, sf_dir):
     )
 
 
+# round-3 Whistle breadth in one query: var bindings, if/else blocks, and
+# array iteration (Ev maps over the per-user event array) — all projective,
+# so the whole transform (including the iteration, compiled to F.transform
+# over array<variant>) stays in whole-stage codegen
+ITER_CFG = """
+out Output: P(root);
+def P(input) {
+  var u: input.user;
+  uid: u;
+  if $Eq(input.vip, true) {
+    tier: "vip";
+  } else {
+    tier: "std";
+  }
+  evs: Ev(input.events[]);
+}
+def Ev(e) {
+  t: $ToUpper(e.t);
+  k: e.k;
+}
+"""
+
+
+def q_mapping_iterate(spark, sf_dir):
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.struct(
+                "event_id",
+                F.col("event_type").alias("t"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("id"),
+            F.to_json(
+                F.struct(
+                    F.col("user_id").alias("user"),
+                    (F.col("user_id") % 3 == 0).alias("vip"),
+                    F.transform(
+                        "evs", lambda x: F.struct(x["t"].alias("t"), x["k"].alias("k"))
+                    ).alias("events"),
+                )
+            ).alias("data"),
+        )
+    )
+    return ok_rows(apply_mapping(per_user, ITER_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_deadletter(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.concat(F.lit("e"), F.col("event_id")).alias("id"), F.col("props").alias("data")
@@ -455,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mapping_transform": q_mapping_transform,
         "mapping_nested": q_mapping_nested,
+        "mapping_iterate": q_mapping_iterate,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -514,6 +569,17 @@ def oracle_sql() -> dict[str, str]:
                           ',"x"],"tag":"', event_type, '-', event_type,
                           '"}]}') AS output
             FROM events
+        """,
+        "mapping_iterate": """
+            SELECT concat('u', user_id) AS id,
+                   concat('{"Output":[{"uid":', user_id,
+                          ',"tier":"', CASE WHEN user_id % 3 = 0 THEN 'vip' ELSE 'std' END,
+                          '","evs":[',
+                          string_agg(concat('{"t":"', upper(event_type),
+                                            '","k":', json_extract_string(props, '$.k'), '}'),
+                                     ',' ORDER BY event_id),
+                          ']}]}') AS output
+            FROM events GROUP BY user_id
         """,
         "mapping_deadletter": """
             SELECT concat('d', doc_id) AS id, 'mapping' AS step,
