@@ -705,7 +705,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),
         "ann_brute_topk": S.brute_force_topk_oracle_sql(k=5, n_queries=10),
         "ann_lsh_topk": S.lsh_topk_oracle_sql(k=5, n_queries=10),
-        "ann_ivf_topk": S.ivf_topk_oracle_sql(k=5, n_queries=10),
+        # trained-centroid literals: the oracle generator re-runs the same
+        # deterministic k-means over the same lowest-id sample (quantized
+        # identically via DuckDB), so both engines use identical centroids.
+        # The driver's correctness gate runs at sf0.01 (TESTDATA.md).
+        "ann_ivf_topk": S.ivf_topk_oracle_sql(
+            S.ivf_oracle_centroids(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+                + "/embeddings.parquet"
+            ),
+            k=5,
+            n_queries=10,
+        ),
         "dicom_harmonize": f"""
             SELECT concat('{_DICOM_PREFIX}', doc_id) AS webpath,
                    concat('{{"resourceType":"Bundle","type":"transaction",',

@@ -475,7 +475,6 @@ def embedding_cosine_pairs_oracle_sql(
 
 
 # -------------------------------------------------------------- IVF ANN
-IVF_CENTROIDS = 16
 IVF_PROBE = 4
 
 
@@ -498,19 +497,100 @@ def _ivf_assign_expr(cents: list[list[int]], n_out: int) -> str:
     return ranked
 
 
-def _ivf_centroids(embeddings: DataFrame, n_centroids: int, id_col: str, dim: int):
-    """Deterministic centroid selection: the quantized vectors of the
-    ``n_centroids`` lowest-id rows. Production would run k-means; the
-    assignment/probe/re-rank machinery — the part that must scale — is
-    identical either way, and this choice is reproducible in the SQL
-    oracle. Constant-size driver collect (like the dedup top-64 table)."""
+IVF_TRAIN_SAMPLE = 1024  # driver-side training sample size (bounded collect)
+IVF_TRAIN_ITERS = 8  # fixed Lloyd's iterations — determinism over convergence
+
+
+def scaled_centroid_count(n_rows: int) -> int:
+    """K ~ sqrt(N), clamped — the classic IVF sizing: candidate work per
+    query is ~ n_probe * N / K, so K ~ sqrt(N) balances inverted-list
+    length against probe count as the corpus grows."""
+    import math
+
+    return max(4, min(4096, math.isqrt(max(n_rows, 1))))
+
+
+def train_centroids(
+    sample: list[list[int]], k: int, iters: int = IVF_TRAIN_ITERS
+) -> list[list[int]]:
+    """Deterministic integer Lloyd's k-means over a quantized sample.
+
+    Everything is int64: init picks k evenly-spaced sample vectors (the
+    sample arrives sorted by id), assignment is exact squared-L2 with ties
+    to the lowest centroid index (argmin contract), and the update is the
+    element-wise integer mean (floor division). Empty clusters keep their
+    previous centroid. The SAME function runs for the Spark plan and for
+    the oracle generator, so both engines receive identical centroid
+    literals — cross-engine exactness never touches float arithmetic."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.int64)
+    n = len(X)
+    k = max(1, min(k, n))
+    cents = X[[(i * n) // k for i in range(k)]].copy()
+    x2 = (X * X).sum(axis=1)
+    for _ in range(iters):
+        # exact int64 squared distances via x^2 + c^2 - 2xc (avoids the
+        # (n, k, dim) temporary a direct broadcast subtraction would build)
+        c2 = (cents * cents).sum(axis=1)
+        d = x2[:, None] + c2[None, :] - 2 * (X @ cents.T)
+        assign = d.argmin(axis=1)  # ties -> lowest centroid index
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.sum(axis=0) // len(members)
+    return [[int(v) for v in c] for c in cents]
+
+
+def _ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    dim: int,
+    train_sample: int = IVF_TRAIN_SAMPLE,
+    train_iters: int = IVF_TRAIN_ITERS,
+):
+    """Trained centroids from a deterministic sample: the quantized vectors
+    of the ``train_sample`` lowest-id rows (SQL-reproducible selection),
+    refined by integer k-means. Constant-size driver collect (like the
+    dedup top-64 table); at 100 TB raise ``train_sample`` — the collect is
+    train_sample x dim int64s regardless of corpus size."""
     rows = (
         embeddings.select(F.col(id_col), F.expr(_qe_expr(dim)).alias("qe"))
         .orderBy(id_col)
-        .limit(n_centroids)
+        .limit(train_sample)
         .collect()
     )
-    return [list(r["qe"]) for r in rows]
+    return train_centroids([list(r["qe"]) for r in rows], n_centroids, train_iters)
+
+
+def ivf_oracle_centroids(
+    parquet_path: str,
+    n_centroids: int | None = None,
+    dim: int = LSH_DIM,
+    train_sample: int = IVF_TRAIN_SAMPLE,
+    train_iters: int = IVF_TRAIN_ITERS,
+) -> list[list[int]]:
+    """The oracle generator's copy of the training pass: identical sample
+    selection + quantization via DuckDB, then the same train_centroids —
+    so the literals embedded in the oracle SQL equal the ones the Spark
+    plan broadcasts."""
+    import duckdb
+
+    con = duckdb.connect()
+    sample = [
+        list(r[0])
+        for r in con.execute(
+            f"SELECT list_transform(embedding, x -> CAST(floor(x * {QUANT}) AS BIGINT))"
+            f" FROM read_parquet('{parquet_path}') ORDER BY vec_id LIMIT {train_sample}"
+        ).fetchall()
+    ]
+    if n_centroids is None:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{parquet_path}')"
+        ).fetchone()[0]
+        n_centroids = scaled_centroid_count(n)
+    return train_centroids(sample, n_centroids, train_iters)
 
 
 def ivf_topk(
@@ -518,23 +598,29 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = IVF_PROBE,
     dim: int = LSH_DIM,
     small_queries: bool = True,
+    train_sample: int = IVF_TRAIN_SAMPLE,
+    train_iters: int = IVF_TRAIN_ITERS,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus vectors are inverted-listed under their
-    nearest centroid; each query probes its ``n_probe`` nearest centroids
-    and re-ranks the union of those lists exactly.
+    nearest TRAINED centroid (deterministic integer k-means over a bounded
+    sample); each query probes its ``n_probe`` nearest centroids and
+    re-ranks the union of those lists exactly.
 
-    Scale shape: the build pass is one broadcast of K centroid vectors +
-    K distance evaluations per corpus vector (linear, no shuffle of
-    vectors beyond the list equi-join); queries shuffle only (id, centroid)
-    probe pairs. Candidate fraction ~ n_probe/n_centroids of the corpus —
-    raise n_centroids as the corpus grows, n_probe for recall. All math is
+    ``n_centroids=None`` scales K with the corpus (~sqrt(N), one count()
+    job at build). Scale shape: the build pass is one broadcast of K
+    centroid vectors + K distance evaluations per corpus vector (linear,
+    no shuffle of vectors beyond the list equi-join); queries shuffle only
+    (id, centroid) probe pairs. Candidate fraction ~ n_probe/n_centroids
+    of the corpus — K grows with N, n_probe with recall needs. All math is
     quantized-int64, reproduced bit-for-bit by the DuckDB oracle."""
     spark = embeddings.sparkSession
-    cents = _ivf_centroids(embeddings, n_centroids, id_col, dim)
+    if n_centroids is None:
+        n_centroids = scaled_centroid_count(embeddings.count())
+    cents = _ivf_centroids(embeddings, n_centroids, id_col, dim, train_sample, train_iters)
     cdf = F.broadcast(spark.createDataFrame([(cents,)], "_ivfc array<array<bigint>>"))
     assign = (
         f"transform(array({_qe_expr(dim)}), qe -> {_ivf_assign_expr(cents, 1)})[0][0]"
@@ -578,20 +664,25 @@ def ivf_topk(
 
 
 def ivf_topk_oracle_sql(
+    centroids: list[list[int]],
     k: int = 5,
     n_queries: int = 10,
-    n_centroids: int = IVF_CENTROIDS,
     n_probe: int = IVF_PROBE,
 ) -> str:
-    """DuckDB oracle reproducing ivf_topk exactly: same quantization, same
-    lowest-id centroids, same (distance, id) probe ordering, same scores."""
+    """DuckDB oracle reproducing ivf_topk exactly: the TRAINED centroids
+    are embedded as literals (produced by ivf_oracle_centroids, which runs
+    the same deterministic training the Spark plan ran — like the LSH
+    plane weights, no arithmetic is re-derived in SQL), same quantization,
+    same (distance, id) probe ordering, same scores."""
+    cent_rows = ", ".join(
+        f"({cid}, {list(qe)}::BIGINT[])" for cid, qe in enumerate(centroids)
+    )
     return f"""
     WITH qz AS (SELECT vec_id,
                        list_transform(embedding,
                                       x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS qe
                 FROM embeddings),
-    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qe
-              FROM qz ORDER BY vec_id LIMIT {n_centroids}),
+    cents AS (SELECT * FROM (VALUES {cent_rows}) AS t(cid, qe)),
     dists AS (
       SELECT v.vec_id, c.cid,
              CAST(list_sum(list_transform(list_zip(v.qe, c.qe),

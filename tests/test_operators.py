@@ -273,3 +273,43 @@ def test_ngram_jaccard_auto_selects_by_collapse(spark, sf_dir):
     pref = D.ngram_jaccard_pairs(docs, 0.5, strategy="prefix")
     assert auto.exceptAll(pref).count() == 0
     assert pref.exceptAll(auto).count() == 0
+
+
+def test_ivf_trained_centroids_recall_on_clustered_corpus(spark):
+    """Round-3 W1 closure: IVF centroids are TRAINED (deterministic integer
+    k-means), so recall vs exact brute force stays high on clustered data —
+    where the old lowest-id selection would collapse (here the low ids all
+    sit in one cluster). Training is reproducible: two runs produce
+    identical centroids."""
+    import numpy as np
+
+    from healthcare_data_harmonization_dataflow_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 1.0, (8, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i // 50]  # sequential blocks: ids 0..49 -> cluster 0 ...
+        v = (c + rng.normal(0.0, 0.05, 16)).astype("float32").tolist()
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)  # 40 queries, all clusters
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, queries, k=5, dim=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"trained-IVF recall {recall:.3f} < 0.9"
+
+    # determinism: the training pass is a pure function of the sample
+    sample = [[int(x) for x in np.floor(np.array(v) * S.QUANT)] for _, v in rows]
+    c1 = S.train_centroids(sample, 20)
+    c2 = S.train_centroids(sample, 20)
+    assert c1 == c2 and len(c1) == 20
