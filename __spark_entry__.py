@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from healthcare_data_harmonization_dataflow_spark.functions import text as T
 from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
 from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
+from healthcare_data_harmonization_dataflow_spark.operators import multimodal as MM
 from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
 from healthcare_data_harmonization_dataflow_spark.operators.bundles import (
     assemble_bundles,
@@ -455,24 +456,26 @@ def q_cep_error_burst(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: documents re-cast as opaque media blobs, decoded
-    by the (deterministic stub) decoder via Arrow-batched mapInPandas. The
-    stub is sha256-derived, so DuckDB can reproduce it exactly — the oracle
-    checks the full Python plumbing path end-to-end."""
-    from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
-        extract_features,
+    """Multimodal decode, REAL since round 3: per doc_id the query builds an
+    actual PPM image (doc_id%3=0) or WAV audio file (doc_id%3=1) with
+    deterministic parameters, and the default decoder parses the container
+    bytes — header magic, LE ints, payload-length checks — via
+    Arrow-batched mapInPandas. 'video' rows (%3=2) carry raw text and hit
+    the documented hash stub (no pure-python video container exists). The
+    oracle rebuilds the same bytes in DuckDB (sha256 + length must match)
+    and derives the expected width/height/frames analytically from doc_id —
+    so a decode that misreads any header byte hash-mismatches."""
+    from healthcare_data_harmonization_dataflow_spark.operators import (
+        multimodal as MM,
     )
 
     docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+    media = docs.selectExpr(
+        "concat('m', cast(doc_id as string)) AS media_id",
+        "element_at(array('image','audio','video'), cast(doc_id % 3 + 1 as int)) AS kind",
+        f"{MM.media_content_sql('spark')} AS content",
     )
-    return extract_features(media)
+    return MM.extract_features(media)
 
 
 def q_text_quality(spark, sf_dir):
@@ -766,21 +769,34 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE floor(n_errors * 1000000.0 / n_total) >= 150000 AND n_errors >= 3
         """,
-        "multimodal_features": """
-    SELECT media_id, kind, content_sha,
-           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-           CAST(16 + seed % 64 AS INT) AS feat_width,
-           CAST(16 + (seed >> 8) % 64 AS INT) AS feat_height,
-           CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + seed % 8 END AS INT)
-             AS frames_sampled
+        # content rebuilt byte-for-byte in DuckDB (sha256 + octet_length
+        # verify it); width/height/frames derived ANALYTICALLY from doc_id,
+        # so the Spark side's real container parse is cross-checked:
+        # decode(build(params)) must equal params
+        "multimodal_features": f"""
+    SELECT media_id, kind, sha256(decode(content)) AS content_sha,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN {MM.PPM_W.format(d='doc_id')}
+                WHEN 1 THEN {MM.WAV_CHANNELS.format(d='doc_id')}
+                ELSE 16 + seed % 64 END AS INT) AS feat_width,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN {MM.PPM_H.format(d='doc_id')}
+                WHEN 1 THEN 16
+                ELSE 16 + (seed >> 8) % 64 END AS INT) AS feat_height,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 1
+                WHEN 1 THEN {MM.WAV_FRAMES.format(d='doc_id')}
+                ELSE 1 + seed % 8 END AS INT) AS frames_sampled
     FROM (
-      SELECT concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
+      SELECT doc_id,
+             concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
              list_extract(['image','audio','video'],
                           CAST(doc_id % 3 + 1 AS INT)) AS kind,
-             sha256(coalesce(text, '')) AS content_sha,
-             CAST(concat('0x', substr(sha256(coalesce(text, '')), 1, 8))
-                  AS BIGINT) AS seed,
-             text
+             {MM.media_content_sql('duck')} AS content,
+             CAST(concat('0x',
+                  substr(sha256(decode({MM.media_content_sql('duck')})), 1, 8))
+                  AS BIGINT) AS seed
       FROM documents
     )
     """,

@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery is real and tested — schema, partition-friendly
-batching, Arrow-batched UDF signatures via ``mapInPandas`` — while the
-actual media decode is STUBBED (this container has no image/audio libs):
-``decode_fn=None`` uses a deterministic fake "decoder" (content hash +
-synthetic dimensions) so plumbing tests are reproducible; production swaps
-in a real decoder behind the same signature.
+batching, Arrow-batched UDF signatures via ``mapInPandas`` — and since
+round 3 the default decoder REALLY parses bytes for the formats a
+pure-python parser can handle with no external libs:
+
+* WAV (RIFF) — chunk walk, LE header ints: channels, bits, frame count;
+* PPM (P6)  — ASCII header: width, height, payload-length check;
+* BMP       — BITMAPINFOHEADER: width, height.
+
+Kinds with no pure-python container format in this sandbox (video, or any
+payload the parsers reject) fall back to the clearly-marked deterministic
+hash stub — same signature production swaps for PIL/ffmpeg.
 
 Scale notes: media bytes stay in executor memory only for the lifetime of
 one Arrow batch (``maxRecordsPerBatch`` bounds it); feature outputs are
@@ -55,8 +61,8 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(content: bytes, kind: str) -> dict:
-    """Deterministic decode stub: real decoders (PIL/ffmpeg/torchaudio) are
-    not available in this environment — same signature, fake values."""
+    """Deterministic decode STUB for kinds without a pure-python parser in
+    this sandbox (video; unknown payloads) — same signature, fake values."""
     h = hashlib.sha256(content or b"").hexdigest()
     seed = int(h[:8], 16)
     return {
@@ -68,6 +74,107 @@ def _fake_decode(content: bytes, kind: str) -> dict:
     }
 
 
+def decode_wav(content: bytes) -> dict:
+    """Real RIFF/WAVE parse — chunk walk, little-endian header ints.
+    feat_width=channels, feat_height=bits per sample, frames_sampled=
+    frame count (data bytes / block align). Raises ValueError on a
+    malformed container."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None or fmt["block_align"] == 0:
+        raise ValueError("missing fmt/data chunk")
+    return {
+        "content_sha": hashlib.sha256(content).hexdigest(),
+        "n_bytes": len(content),
+        "feat_width": fmt["channels"],
+        "feat_height": fmt["bits"],
+        "frames_sampled": data_size // fmt["block_align"],
+    }
+
+
+def decode_ppm(content: bytes) -> dict:
+    """Real PPM (P6) parse — ASCII header tokens (comments allowed), then a
+    payload-length check against width*height*3."""
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    toks, pos = [], 2
+    while len(toks) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        toks.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then payload
+    w, h, maxval = toks
+    if maxval <= 0 or maxval > 255 or len(content) - pos != w * h * 3:
+        raise ValueError("PPM payload length mismatch")
+    return {
+        "content_sha": hashlib.sha256(content).hexdigest(),
+        "n_bytes": len(content),
+        "feat_width": w,
+        "feat_height": h,
+        "frames_sampled": 1,
+    }
+
+
+def decode_bmp(content: bytes) -> dict:
+    """Real BMP parse — BITMAPINFOHEADER signed LE width/height at offsets
+    18/22 (negative height = top-down rows; the magnitude is the height)."""
+    if content[:2] != b"BM" or len(content) < 26:
+        raise ValueError("not a BMP")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    return {
+        "content_sha": hashlib.sha256(content).hexdigest(),
+        "n_bytes": len(content),
+        "feat_width": w,
+        "feat_height": abs(h),
+        "frames_sampled": 1,
+    }
+
+
+def default_decode(content: bytes, kind: str) -> dict:
+    """Magic-byte sniffing decoder: real parsers for WAV/PPM/BMP, the
+    deterministic hash stub for everything else (video in this sandbox) and
+    for payloads the parsers reject — a real pipeline would dead-letter
+    those via the decode_fn hook instead."""
+    content = content or b""
+    try:
+        if content[:4] == b"RIFF":
+            return decode_wav(content)
+        if content[:2] == b"P6":
+            return decode_ppm(content)
+        if content[:2] == b"BM":
+            return decode_bmp(content)
+    except ValueError:
+        pass
+    return _fake_decode(content, kind)
+
+
 def extract_features(
     media: DataFrame, decode_fn: Callable[[bytes, str], dict] | None = None
 ) -> DataFrame:
@@ -77,7 +184,7 @@ def extract_features(
     NotImplementedError there for unsupported kinds and the row routes to
     the dead-letter convention upstream.
     """
-    decode = decode_fn or _fake_decode
+    decode = decode_fn or default_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,6 +197,78 @@ def extract_features(
     # media bytes never survive past this projection: select early, keep the
     # Arrow batches bounded, output fixed-width features only
     return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------- cross-dialect synthesis
+# Deterministic REAL media bytes from an integer id, expressed in SQL that
+# runs on Spark AND DuckDB (same concat/hex/lpad/repeat/chr semantics), so
+# the oracle reproduces content byte-for-byte while the Spark side decodes
+# the actual container headers. WAV parameters are chosen so every
+# little-endian multi-byte field has at most ONE varying byte (no integer
+# division in SQL) AND every byte stays < 0x80 — the whole file is then
+# valid UTF-8, which lets the DuckDB oracle hash the exact bytes via
+# sha256(decode(content)) (DuckDB 1.0 has no BLOB hash):
+#   channels    = 1 + id % 2
+#   sample_rate = 256 * (24 + id % 8)   (byte_rate byte <= 124)
+#   bits        = 16, n_frames = 10 + id % 13  (data size <= 88)
+WAV_CHANNELS = "(1 + {d} % 2)"
+WAV_SRH = "(24 + {d} % 8)"  # sample_rate / 256
+WAV_FRAMES = "(10 + {d} % 13)"
+PPM_W = "(4 + {d} % 29)"
+PPM_H = "(3 + {d} % 13)"
+
+
+def wav_hex_sql(d: str = "doc_id") -> str:
+    """Hex string of a complete 44-byte-header WAV with a zeroed payload;
+    feed to unhex() (identical in both dialects)."""
+    ch = WAV_CHANNELS.format(d=d)
+    srh = WAV_SRH.format(d=d)
+    nf = WAV_FRAMES.format(d=d)
+    ds = f"({nf} * {ch} * 2)"
+
+    def byte(e: str) -> str:
+        return f"lpad(hex({e}), 2, '0')"
+
+    return (
+        "concat('52494646', "  # "RIFF"
+        f"{byte(f'36 + {ds}')}, '000000', "  # chunk size (LE, < 256+36)
+        "'57415645', '666d7420', '10000000', '0100', "  # WAVEfmt , 16, PCM
+        f"{byte(ch)}, '00', "  # channels
+        f"'00', {byte(srh)}, '0000', "  # sample_rate = 256*srh
+        f"'00', {byte(f'{srh} * {ch} * 2')}, '0000', "  # byte_rate = sr*ch*2
+        f"{byte(f'{ch} * 2')}, '00', "  # block align
+        "'1000', '64617461', "  # bits=16, "data"
+        f"{byte(ds)}, '000000', "  # data size (LE, < 256)
+        f"repeat('00', {ds}))"  # silent payload
+    )
+
+
+def ppm_str_sql(d: str = "doc_id") -> str:
+    """ASCII P6 PPM: header + 'x'-filled payload (legal pixel bytes)."""
+    w = PPM_W.format(d=d)
+    h = PPM_H.format(d=d)
+    return (
+        f"concat('P6', chr(10), {w}, ' ', {h}, chr(10), '255', chr(10), "
+        f"repeat('x', {w} * {h} * 3))"
+    )
+
+
+def media_content_sql(dialect: str, d: str = "doc_id", text: str = "text") -> str:
+    """Per-row content: id%3=0 -> PPM image, 1 -> WAV audio, 2 -> raw text
+    as a 'video' placeholder (stub-decoded). Only the string->binary encode
+    differs between dialects."""
+    enc = (
+        (lambda e: f"encode({e}, 'utf-8')")
+        if dialect == "spark"
+        else (lambda e: f"encode({e})")
+    )
+    fallback = enc(f"coalesce({text}, '')")
+    return (
+        f"CASE CAST({d} % 3 AS INT) "
+        f"WHEN 0 THEN {enc(ppm_str_sql(d))} "
+        f"WHEN 1 THEN unhex({wav_hex_sql(d)}) "
+        f"ELSE {fallback} END"
+    )
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:

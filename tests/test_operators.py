@@ -313,3 +313,65 @@ def test_ivf_trained_centroids_recall_on_clustered_corpus(spark):
     c1 = S.train_centroids(sample, 20)
     c2 = S.train_centroids(sample, 20)
     assert c1 == c2 and len(c1) == 20
+
+
+def test_real_decoders_parse_actual_containers(spark):
+    """Round-3 W2 closure: the default decoder really parses container
+    bytes. Files here are built with struct.pack using parameters OUTSIDE
+    the oracle query's constrained ranges (incl. multi-byte LE fields and a
+    word-align padding chunk), so header parsing — not byte-pattern luck —
+    produces the features."""
+    import hashlib
+    import struct
+
+    from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        default_decode,
+    )
+
+    # WAV: 44100 Hz stereo 16-bit, 1000 frames, plus a junk odd-size chunk
+    # before fmt (exercises the chunk walk + word alignment)
+    ch, sr, bits, nframes = 2, 44100, 16, 1000
+    block = ch * bits // 8
+    data = b"\x01\x02" * (nframes * block // 2)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * block, block, bits)
+    body = junk + fmt + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    f = decode_wav(wav)
+    assert (f["feat_width"], f["feat_height"], f["frames_sampled"]) == (ch, bits, nframes)
+    assert f["n_bytes"] == len(wav)
+    assert f["content_sha"] == hashlib.sha256(wav).hexdigest()
+
+    # PPM with a comment line and 3-digit dimensions
+    w, h = 320, 200
+    ppm = b"P6\n# a comment\n320 200\n255\n" + b"\x7f" * (w * h * 3)
+    f = decode_ppm(ppm)
+    assert (f["feat_width"], f["feat_height"], f["frames_sampled"]) == (w, h, 1)
+
+    # BMP with top-down rows (negative height)
+    bmp = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack("<Iii", 12, 640, -480)
+    f = decode_bmp(bmp)
+    assert (f["feat_width"], f["feat_height"]) == (640, 480)
+
+    # sniffing: right magic routes to the right parser; malformed payloads
+    # with a known magic fall back to the deterministic stub, as do kinds
+    # with no parser (video)
+    assert default_decode(wav, "audio")["frames_sampled"] == nframes
+    assert default_decode(ppm, "image")["feat_width"] == w
+    truncated = wav[:20]
+    stub = default_decode(truncated, "audio")
+    assert stub["content_sha"] == hashlib.sha256(truncated).hexdigest()
+    assert default_decode(b"not media", "video")["frames_sampled"] >= 1
+
+    # the whole path through Arrow-batched mapInPandas on real bytes
+    media = spark.createDataFrame(
+        [("w1", "audio", wav), ("p1", "image", ppm), ("b1", "image", bmp)],
+        "media_id string, kind string, content binary",
+    )
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert got["w1"]["frames_sampled"] == nframes
+    assert got["p1"]["feat_width"] == w and got["p1"]["feat_height"] == h
+    assert got["b1"]["feat_width"] == 640
