@@ -347,14 +347,14 @@ def ngram_jaccard_pairs(
         ).first()["p"]
         strategy = "profile" if p_est <= profile_cap else "prefix"
     if strategy == "profile":
-        return _ngram_jaccard_profile(docs, threshold, id_col)
+        return _ngram_jaccard_profile(docs, threshold, id_col, profile_cap)
     if strategy != "prefix":
         raise ValueError(f"unknown ngram-jaccard strategy {strategy!r}")
     return _ngram_jaccard_prefix(docs, threshold, id_col)
 
 
 def _ngram_jaccard_profile(
-    docs: DataFrame, threshold: float, id_col: str
+    docs: DataFrame, threshold: float, id_col: str, profile_cap: int | None = None
 ) -> DataFrame:
     """Profile-collapsed exact Jaccard pairs.
 
@@ -416,6 +416,23 @@ def _ngram_jaccard_profile(
             "members",
         )
     )
+    if profile_cap is not None:
+        # safety rail INSIDE the profile path (review W3): the caller (or
+        # the auto probe's HLL estimate) may be wrong about collapse — an
+        # exact count here costs one extra job but prevents an O(P^2)
+        # broadcast nested-loop over a no-collapse corpus. Both strategies
+        # are exact, so falling back changes nothing but the plan.
+        n_profiles = profiles.count()
+        if n_profiles > profile_cap:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard: {n_profiles} distinct profiles exceed "
+                f"profile_cap={profile_cap}; falling back to the "
+                "prefix-filter strategy (identical output)",
+                stacklevel=2,
+            )
+            return _ngram_jaccard_prefix(docs, threshold, id_col)
     p1, p2 = profiles.alias("p1"), F.broadcast(profiles).alias("p2")
     cross = p1.join(p2, F.col("p1.pid") < F.col("p2.pid")).select(
         F.col("p1.members").alias("m1"),

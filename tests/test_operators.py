@@ -375,3 +375,40 @@ def test_real_decoders_parse_actual_containers(spark):
     assert got["w1"]["frames_sampled"] == nframes
     assert got["p1"]["feat_width"] == w and got["p1"]["feat_height"] == h
     assert got["b1"]["feat_width"] == 640
+
+
+def test_ngram_profile_cap_enforced_inside_profile_path(spark):
+    """Review W3 closure: strategy='profile' FORCED on a no-collapse corpus
+    must not run the O(P^2) broadcast nested-loop — the in-path exact count
+    falls back to the prefix strategy with identical output."""
+    import warnings as W
+
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    # every doc a distinct token set: zero collapse, P == N
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta w', id, ' w', id + 1000) AS text",
+    )
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        forced = ngram_jaccard_pairs(
+            docs, threshold=0.5, strategy="profile", profile_cap=10
+        )
+        rows_forced = {tuple(r) for r in forced.collect()}
+    assert any("profile_cap" in str(w.message) for w in got)
+    rows_prefix = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, strategy="prefix").collect()
+    }
+    assert rows_forced == rows_prefix
+    # and a collapsing corpus under the cap still takes the profile path
+    dups = spark.range(60).selectExpr(
+        "id AS doc_id", "concat('same text ', id % 3) AS text"
+    )
+    with W.catch_warnings(record=True) as got2:
+        W.simplefilter("always")
+        ngram_jaccard_pairs(dups, strategy="profile", profile_cap=10).collect()
+    assert not any("profile_cap" in str(w.message) for w in got2)
