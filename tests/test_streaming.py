@@ -660,3 +660,122 @@ def test_sink_lineage_has_bytes_and_observed_rows(spark, tmp_path):
     lin2 = s2.lineage()[0]
     assert lin2["rows"] == 75
     assert sum(p["rows"] for p in lin2["partitions"]) == 75
+
+
+def test_tws_handler_logic_with_mocked_state():
+    """Round-3 gated-path risk shrink: the transformWithState handler's
+    logic (append-only buffering, late-row drop, timer re-arm, watermark
+    drain, open-session retention) runs WITHOUT protobuf by driving the
+    StatefulProcessor directly against mocked state primitives."""
+    import pandas as pd
+
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly_tws import (
+        SessionAssembler,
+    )
+
+    class MockListState:
+        def __init__(self):
+            self.rows = []
+
+        def get(self):
+            return iter(self.rows)
+
+        def appendList(self, pdf):
+            self.rows.extend(tuple(t) for t in pdf.itertuples(index=False))
+
+        def clear(self):
+            self.rows = []
+
+    class MockValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class MockHandle:
+        def __init__(self):
+            self.states = {}
+            self.timers = []
+
+        def getListState(self, name, schema):
+            return self.states.setdefault(name, MockListState())
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, MockValueState())
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class TV:
+        def __init__(self, wm_ms):
+            self.wm_ms = wm_ms
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm_ms
+
+    def batch(turn_ts):  # [(turn_idx, role, text, ts_seconds)]
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "turn_idx": [t[0] for t in turn_ts],
+                        "role": [t[1] for t in turn_ts],
+                        "text": [t[2] for t in turn_ts],
+                        "ts": [pd.Timestamp(t[3], unit="s") for t in turn_ts],
+                    }
+                )
+            ]
+        )
+
+    gap = 300  # 5 minutes
+    proc = SessionAssembler(gap)
+    handle = MockHandle()
+    proc.init(handle)
+    key = ("conv-1",)
+
+    # batch 1: two sessions' worth of turns + one LATE row (ts < watermark)
+    out = list(
+        proc.handleInputRows(
+            key,
+            batch([(0, "user", "a", 1000), (1, "assistant", "b", 1010),
+                   (9, "user", "LATE", 10), (2, "user", "c", 2000)]),
+            TV(wm_ms=500 * 1000),
+        )
+    )
+    assert out == []  # nothing complete yet
+    assert len(handle.states["turns"].rows) == 3  # late row dropped
+    assert handle.states["max_ts"].v == (2000 * 1_000_000,)
+    # single event-time timer at last-turn + gap
+    assert handle.timers == [(2000 + gap) * 1000]
+
+    # timer fires with watermark past session-1's end+gap but NOT session-2's:
+    # session 1 (turns 0,1) emits, session 2 (turn 2) is retained + re-armed
+    out = list(proc.handleExpiredTimer(key, TV(wm_ms=(1010 + gap + 1) * 1000), None))
+    assert len(out) == 1
+    row = out[0].to_dict("records")[0]
+    assert row["conv_id"] == "conv-1" and row["n_turns"] == 2
+    assert "a" in row["bundle"] and "c" not in row["bundle"]
+    assert [t[0] for t in handle.states["turns"].rows] == [2]
+    assert handle.timers[-1] == (2000 + gap) * 1000
+
+    # watermark passes everything: session 2 emits, state fully cleared
+    out = list(proc.handleExpiredTimer(key, TV(wm_ms=(2000 + gap + 1) * 1000), None))
+    assert out[0].to_dict("records")[0]["n_turns"] == 1
+    assert handle.states["turns"].rows == []
+    assert handle.states["max_ts"].v is None
