@@ -384,6 +384,54 @@ CUSTOM_Q_CFG = (
 )
 
 
+# the EP1 Hl7v2ToFhir runner flow as one oracle-checked batch query:
+# notification -> getAll fetch (read dead-letter) -> MappingFn (mapping
+# dead-letter) -> bundle -> executeBundles (write dead-letter). Branch
+# injection is deterministic: event_id % 17 == 3 missing from the store,
+# % 17 == 5 carries malformed HL7 content, msg names ending in '7' are
+# rejected by the simulated FHIR store.
+_HL7_PREFIX = "projects/p/datasets/d/hl7V2Stores/s/messages/"
+
+
+def q_hl7v2_harmonize(spark, sf_dir):
+    from healthcare_data_harmonization_dataflow_spark.streaming.pipeline import (
+        hl7v2_transform,
+    )
+
+    ev = _events(spark, sf_dir)
+    notifications = ev.select(
+        F.encode(F.concat(F.lit(_HL7_PREFIX), F.col("event_id")), "utf-8").alias(
+            "payload"
+        )
+    )
+    store = ev.filter(F.col("event_id") % 17 != 3).select(
+        F.concat(F.lit(_HL7_PREFIX), F.col("event_id")).alias("msg_name"),
+        F.when(
+            F.col("event_id") % 17 == 5,
+            F.concat(F.lit("hl7v2-raw|"), F.col("props")),
+        )
+        .otherwise(F.col("props"))
+        .alias("data"),
+    )
+    b = hl7v2_transform(
+        notifications, store, CFG, write_reject=F.col("msg_name").endswith("7")
+    )
+    return b.select(
+        "msg_name",
+        F.when(F.col("read_err").isNotNull(), F.lit("read"))
+        .when(F.col("map_err").isNotNull(), F.lit("mapping"))
+        .when(F.col("write_err").isNotNull(), F.lit("write"))
+        .otherwise(F.lit("ok"))
+        .alias("branch"),
+        F.coalesce(
+            F.col("bundle"),
+            F.col("write_err.dataElement"),
+            F.col("map_err.error_message"),
+            F.col("read_err.message"),
+        ).alias("payload"),
+    )
+
+
 def q_custom_to_fhir(spark, sf_dir):
     from healthcare_data_harmonization_dataflow_spark.sources.query_options import (
         custom_to_fhir,
@@ -537,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dicom_harmonize": q_dicom_harmonize,
+        "hl7v2_harmonize": q_hl7v2_harmonize,
         "custom_to_fhir": q_custom_to_fhir,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_features": q_multimodal_features,
@@ -728,6 +777,22 @@ def oracle_sql() -> dict[str, str]:
                           '"}}]}},"request":{{"method":"POST","url":"Bundle"}}}}]}}')
                      AS bundle
             FROM documents WHERE doc_id % 10 != 0
+        """,
+        "hl7v2_harmonize": f"""
+            SELECT concat('{_HL7_PREFIX}', event_id) AS msg_name,
+                   CASE WHEN event_id % 17 = 3 THEN 'read'
+                        WHEN event_id % 17 = 5 THEN 'mapping'
+                        WHEN event_id % 10 = 7 THEN 'write'
+                        ELSE 'ok' END AS branch,
+                   CASE WHEN event_id % 17 = 3 THEN 'hl7v2 message not found'
+                        WHEN event_id % 17 = 5
+                          THEN concat('invalid input JSON: hl7v2-raw|', props)
+                        ELSE concat(
+                          '{{"resourceType":"Bundle","type":"transaction","entry":[{{"resource":',
+                          {_MAPPED},
+                          ',"request":{{"method":"POST","url":"Observation"}}}}]}}')
+                   END AS payload
+            FROM events
         """,
         "custom_to_fhir": """
             SELECT 'Region' AS source_table,

@@ -140,3 +140,65 @@ class HarmonizationPipeline:
 
     def deadletter(self, spark: SparkSession) -> DataFrame:
         return self.deadletter_sink.read_committed(spark)
+
+
+def hl7v2_transform(
+    notifications: DataFrame,
+    store: DataFrame,
+    mapping_config: str,
+    write_reject=None,
+) -> DataFrame:
+    """The EP1 ``Hl7v2ToFhirStreamingRunner`` stage chain as one pure plan
+    (Hl7v2ToFhirStreamingRunner.java:139-171), branch-per-column like
+    :func:`..streaming.dicom_pipeline.dicom_transform`:
+
+    1. Pub/Sub notification payload -> HL7v2 message name;
+    2. ``HL7v2IO.getAll`` fetch — a broadcast join against the message
+       store's queryable form; a missing message is the Read.Result
+       DEAD_LETTER branch (HealthcareIOError, 404);
+    3. ``ParDo(MappingFn)`` on the fetched content — recoverable mapping
+       failures to the mapping dead-letter (withOutputTags);
+    4. ``CreateFhirResourceBundle`` -> ``FhirIO.executeBundles`` — the
+       ``write_reject`` predicate column stands in for the FHIR store's
+       post-retry rejection (Write.Result FAILED_BODY); rejected bundles
+       carry statusCode 500.
+
+    ``store`` schema: (msg_name string, data string). Returns one row per
+    notification with disjoint branch columns bundle / read_err / map_err /
+    write_err — all four sink under ONE batchId via FanOutSink in
+    streaming use."""
+    from ..functions.reformat import extract_webpath_from_pubsub
+    from ..operators.bundles import to_transaction_bundle
+
+    paths = notifications.withColumn(
+        "msg_name", extract_webpath_from_pubsub(F.col("payload"))
+    )
+    fetched = paths.join(F.broadcast(store), "msg_name", "left")
+    mapped = apply_mapping(fetched, mapping_config, id_col="msg_name", data_col="data")
+    bundled = to_transaction_bundle(mapped, "ok", url="Observation")
+    rejected = write_reject if write_reject is not None else F.lit(False)
+    err_struct = lambda element, msg, code: F.named_struct(  # noqa: E731
+        F.lit("dataElement"), element,
+        F.lit("observed_time"), F.current_timestamp(),
+        F.lit("message"), F.lit(msg),
+        F.lit("stacktrace"), F.lit(None).cast("string"),
+        F.lit("statusCode"), F.lit(code),
+    )
+    return bundled.select(
+        "msg_name",
+        # read branch: HL7v2IO.getAll failed (message not in the store)
+        F.when(
+            F.col("data").isNull(),
+            err_struct(F.col("msg_name"), "hl7v2 message not found", 404),
+        ).alias("read_err"),
+        # mapping branch (ErrorEntry; only for fetched messages)
+        F.when(F.col("data").isNotNull(), F.col("err")).alias("map_err"),
+        # write branch: executeBundles rejected the bundle after retries
+        F.when(
+            F.col("bundle").isNotNull() & rejected,
+            err_struct(F.col("bundle"), "bundle rejected by FHIR store", 500),
+        ).alias("write_err"),
+        F.when(F.col("bundle").isNotNull() & ~rejected, F.col("bundle")).alias(
+            "bundle"
+        ),
+    )
