@@ -85,13 +85,18 @@ def F_col_ok():
     return F.col("ok").alias("text")
 
 
-def bench_streaming(spark, n_turns: int = 200_000):
+def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: int = 3):
     """End-to-end streaming harmonization (the BASELINE.json headline):
     parquet-file stream -> VARIANT mapping -> stateful session assembly ->
     exactly-once sink, bounded by availableNow + a watermark-flushing
     sentinel. Returns (elapsed_sec, turns_per_sec, avg_batch_sec,
     n_batches) measured from the listener, i.e. including micro-batch
-    scheduling + state store + idempotent-commit overhead."""
+    scheduling + state store + idempotent-commit overhead.
+
+    ``n_files``/``max_files`` control the micro-batch count (~n_files /
+    max_files): the large-scale figure uses 10+ batches so per-batch fixed
+    costs (state-store commit, file listing, epoch planning) are amortized
+    the way a long-running stream amortizes them."""
     import shutil
     import tempfile
 
@@ -114,7 +119,7 @@ def bench_streaming(spark, n_turns: int = 200_000):
         # mtimes) the way a real stream delivers; disorder WITHIN a file
         # (jitter + rare 1h-late rows) still exercises reordering/late paths
         t = generate_transcripts(spark, total_turns=n_turns)
-        write_time_ordered_stream(t, inp)
+        write_time_ordered_stream(t, inp, n_files=n_files)
         append_flush_sentinel(spark, inp)
         listener = MetricsListener()
         spark.streams.addListener(listener)
@@ -130,7 +135,7 @@ def bench_streaming(spark, n_turns: int = 200_000):
                 mapping_config=CFG,
                 out_dir=os.path.join(root, "out"),
                 trigger={"availableNow": True},
-                max_files_per_trigger=3,  # force several micro-batches
+                max_files_per_trigger=max_files,  # bounds rows per micro-batch
                 # the generator's conversations START anywhere in a 24h span
                 # (plus rare 1h-late rows), so the correctness watermark must
                 # cover that disorder — same setting the e2e tests use; rows
@@ -187,11 +192,14 @@ def main():
 
     if mode == "stream_only":
         # scaling-evidence mode: the streaming pipeline alone, JIT-warmed,
-        # best-of-2, at whatever parallelism the env selects
+        # best-of-2, at whatever parallelism the env selects; 10+ batches at
+        # 1M turns so per-batch fixed costs don't dominate
         bench_streaming(spark, 50_000)
         best = None
         for _ in range(2):
-            s_elapsed, s_tps, s_batch, s_nb, s_out = bench_streaming(spark, n_turns)
+            s_elapsed, s_tps, s_batch, s_nb, s_out = bench_streaming(
+                spark, n_turns, n_files=36
+            )
             best = (s_elapsed, s_tps, s_batch, s_nb, s_out) if best is None or s_tps > best[1] else best
         print(
             json.dumps(
@@ -233,6 +241,20 @@ def main():
             "streaming_batches": s_nbatches,
             "streaming_output_turns": s_out,
         }
+        # the at-scale figure: 1M turns over 12 micro-batches — per-batch
+        # fixed costs (state commit, epoch planning) amortized the way a
+        # long-running stream amortizes them; single run (it is 5x the
+        # 200k work, and the 200k best-of-2 already absorbed host noise)
+        s1 = bench_streaming(spark, 1_000_000, n_files=36)
+        queries_sec["streaming_harmonize_1m"] = round(s1[0], 3)
+        stream_stats.update(
+            {
+                "streaming_1m_turns_per_sec": round(s1[1]),
+                "streaming_1m_avg_batch_sec": round(s1[2], 3),
+                "streaming_1m_batches": s1[3],
+                "streaming_1m_output_turns": s1[4],
+            }
+        )
 
     h_sec = min(bench_harmonize(spark, n_turns) for _ in range(2))
     queries_sec["harmonize_1m_turns"] = round(h_sec, 3)
