@@ -142,6 +142,23 @@ def _null_variant() -> Column:
     return F.lit(None).cast("variant")
 
 
+def _num_variant(col: Column) -> Column:
+    """A numeric Column as a VARIANT value (renders without quotes); NULL
+    stays NULL (missing)."""
+    return F.try_parse_json(col.cast("string"))
+
+
+def _lit_str(node, what: str) -> str:
+    """Builtin arguments that must be compile-time string literals in the
+    column backend (delimiters, regex patterns — they parameterize the
+    EXPRESSION, not the data); non-literals fall back to pandas."""
+    if isinstance(node, Lit) and isinstance(node.value, str):
+        return node.value
+    raise MappingConfigError(
+        f"column backend: {what} must be a string literal"
+    )
+
+
 def _cond_col(cond) -> Column:
     """Strict-boolean condition: TRUE iff the value is JSON true (a "true"
     STRING must not coerce, matching the python backend's `v is True`).
@@ -291,6 +308,78 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # matching the python backend
             return _BoolCol(
                 F.coalesce(F.to_json(args[0]) == F.to_json(args[1]), F.lit(False))
+            )
+        if expr.name == "$ToString":
+            return _StrCol(_str_form(args[0]))
+        if expr.name == "$ParseInt":
+            return _num_variant(_str_form(args[0]).try_cast("long"))
+        if expr.name == "$ParseFloat":
+            return _num_variant(_str_form(args[0]).try_cast("double"))
+        if expr.name == "$StrSplit":
+            d = _lit_str(expr.args[1], "$StrSplit delimiter")
+            import re as _re
+
+            return _ArrCol(
+                F.split(_str_form(args[0]), _re.escape(d), -1), "str"
+            )
+        if expr.name == "$StrJoin":
+            d = _lit_str(expr.args[0], "$StrJoin delimiter")
+            arr = args[1]
+            if isinstance(arr, _ArrCol) and arr.elem == "str":
+                return _StrCol(F.array_join(arr.col, d))
+            if isinstance(arr, _StrArr):
+                return _StrCol(F.array_join(F.array(*arr.cols), d))
+            if isinstance(arr, Column):
+                # data-derived array: element scalars coerce to string the
+                # way _str_form does (variant_get array<string>)
+                return _StrCol(
+                    F.array_join(F.try_variant_get(arr, "$", "array<string>"), d)
+                )
+            raise MappingConfigError(
+                "column backend: $StrJoin needs an array value"
+            )
+        if expr.name == "$MatchesRegex":
+            pat = _lit_str(expr.args[1], "$MatchesRegex pattern")
+            # full-match semantics (Whistle MatchesRegex); a missing subject
+            # compares false
+            return _BoolCol(
+                F.coalesce(
+                    _str_form(args[0]).rlike(f"^(?:{pat})$"), F.lit(False)
+                )
+            )
+        if expr.name == "$IsNil":
+            v = args[0]
+            if isinstance(v, _StrCol):
+                return _BoolCol(F.coalesce(v.col == "", F.lit(True)))
+            if isinstance(v, _BoolCol):
+                return _BoolCol(v.col.isNull())
+            if isinstance(v, _ArrCol):
+                return _BoolCol(F.coalesce(F.size(v.col) == 0, F.lit(True)))
+            if isinstance(v, _StrArr):
+                return _BoolCol(F.lit(len(v.cols) == 0))
+            if isinstance(v, _StructVal):
+                return _BoolCol(F.lit(False))  # statically non-empty
+            # variant: nil = missing, JSON null, '', [], {} — one rendering
+            return _BoolCol(
+                F.coalesce(
+                    F.to_json(v).isin("null", '""', "[]", "{}"), F.lit(True)
+                )
+            )
+        if expr.name == "$ListLen":
+            v = args[0]
+            if isinstance(v, _ArrCol):
+                return _num_variant(
+                    F.when(v.col.isNotNull(), F.size(v.col)).cast("long")
+                )
+            if isinstance(v, _StrArr):
+                return F.parse_json(F.lit(str(len(v.cols))))
+            if isinstance(v, Column):
+                arr = F.try_variant_get(v, "$", "array<variant>")
+                return _num_variant(
+                    F.when(arr.isNotNull(), F.size(arr)).cast("long")
+                )
+            raise MappingConfigError(
+                "column backend: $ListLen needs an array value"
             )
         if expr.name == "$Not":
             # true iff the value is NOT JSON true: a false/missing/non-bool
@@ -513,6 +602,50 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 # strict: true iff the value is NOT JSON true (missing,
                 # false, and non-boolean all negate to true)
                 return vals[0] is not True
+            if expr.name == "$ToString":
+                return _scalar_str(vals[0])
+            if expr.name == "$ParseInt":
+                s = _scalar_str(vals[0])
+                if s is _MISSING:
+                    return _MISSING
+                try:
+                    return int(s.strip())  # try_cast(long) semantics
+                except ValueError:
+                    return _MISSING
+            if expr.name == "$ParseFloat":
+                s = _scalar_str(vals[0])
+                if s is _MISSING:
+                    return _MISSING
+                try:
+                    return float(s.strip())
+                except ValueError:
+                    return _MISSING
+            if expr.name == "$StrSplit":
+                s, d = _scalar_str(vals[0]), vals[1]
+                if s is _MISSING or not isinstance(d, str):
+                    return _MISSING
+                return s.split(d)
+            if expr.name == "$StrJoin":
+                d, arr = vals
+                if not isinstance(d, str) or not isinstance(arr, list):
+                    return _MISSING
+                parts = [_scalar_str(x) for x in arr]
+                # array_join drops null elements (no delimiter for them)
+                return d.join(p for p in parts if p is not _MISSING)
+            if expr.name == "$MatchesRegex":
+                import re as _re
+
+                s, pat = _scalar_str(vals[0]), vals[1]
+                if s is _MISSING or not isinstance(pat, str):
+                    return False
+                return _re.fullmatch(pat, s) is not None
+            if expr.name == "$IsNil":
+                v = vals[0]
+                return (
+                    v is _MISSING or v is None or v == "" or v == [] or v == {}
+                )
+            if expr.name == "$ListLen":
+                return len(vals[0]) if isinstance(vals[0], list) else _MISSING
             if expr.name == "$Eq":
                 a, b = vals
                 if a is _MISSING or b is _MISSING:

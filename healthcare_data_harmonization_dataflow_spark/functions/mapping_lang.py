@@ -101,6 +101,17 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$Eq": (2, 2),
     "$If": (2, 3),
     "$Not": (1, 1),
+    # round-3 library growth (the builtins real harmonization configs lean
+    # on): scalar coercion/parsing, string splitting/joining, regex
+    # full-match, nil test, array length
+    "$ToString": (1, 1),
+    "$ParseInt": (1, 1),
+    "$ParseFloat": (1, 1),
+    "$StrSplit": (2, 2),
+    "$StrJoin": (2, 2),
+    "$MatchesRegex": (2, 2),
+    "$IsNil": (1, 1),
+    "$ListLen": (1, 1),
 }
 
 

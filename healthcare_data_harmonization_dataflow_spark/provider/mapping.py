@@ -169,7 +169,17 @@ def load_mapping_config(
     path: str, import_root: str = "", spark=None, force: bool = False
 ) -> str:
     """One-call load: factory + read + import resolution -> config text
-    ready for ``compile_mapping``/``apply_mapping``."""
-    return create_provider(path, spark).get_mapping_config(
+    ready for ``compile_mapping``/``apply_mapping``.
+
+    A DataHarmonization engine-config envelope (the EP2 runner's
+    main.textproto shape — library_config + structure_mapping_config) is
+    detected and delegated to :mod:`.engine_config`, which inlines every
+    referenced user library plus the main config."""
+    text = create_provider(path, spark).get_mapping_config(
         force=force, import_root=import_root
     )
+    from .engine_config import load_engine_config, looks_like_engine_config
+
+    if looks_like_engine_config(text):
+        return load_engine_config(path, spark=spark, import_root=import_root)
+    return text

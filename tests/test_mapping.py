@@ -675,3 +675,65 @@ def test_recursive_projector_falls_back_not_hangs():
     cfg = "out O: P(root);\ndef P(i) { x: i.a; again: P(i); }"
     m = compile_mapping(cfg)  # _check terminates via the call-stack guard
     assert m.supports_columns() is False
+
+
+LIB_CONFIG = """
+out Output: P(root);
+def P(i) {
+  s: $ToString(i.n);
+  pi: $ParseInt(i.ns);
+  pf: $ParseFloat(i.fs);
+  bad: $ParseInt(i.name);
+  parts: $StrSplit(i.csv, ",");
+  joined: $StrJoin("-", i.arr);
+  m1: $MatchesRegex(i.name, "[a-z]+");
+  m2: $MatchesRegex(i.name, "[0-9]+");
+  nil1: $IsNil(i.empty);
+  nil2: $IsNil(i.missing);
+  nil3: $IsNil(i.name);
+  len: $ListLen(i.arr);
+  lenm: $ListLen(i.name);
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_library_builtins_golden(spark, backend):
+    """Round-3 builtin growth ($ToString/$ParseInt/$ParseFloat/$StrSplit/
+    $StrJoin/$MatchesRegex/$IsNil/$ListLen): byte-identical on both
+    backends, incl. failed parses omitting the field, split keeping empty
+    tokens, join dropping missing elements, full-match regex semantics,
+    and nil covering missing/''/[]/{}."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"n":42,"ns":" 17 ","fs":"2.5","name":"bob",'
+                  '"csv":"a,b,,c","arr":[1,"x",null],"empty":""}'),
+            ("b", '{"n":true,"ns":"4.5","fs":"x","name":"b0b","csv":"","arr":[]}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, LIB_CONFIG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"s":"42","pi":17,"pf":2.5,"parts":["a","b","","c"],'
+        '"joined":"1-x","m1":true,"m2":false,"nil1":true,"nil2":true,'
+        '"nil3":false,"len":3}]}'
+    )
+    assert oks["b"] == (
+        '{"Output":[{"s":"true","parts":[""],"joined":"","m1":false,'
+        '"m2":false,"nil1":true,"nil2":true,"nil3":false,"len":0}]}'
+    )
+    # the config is projective: the whole library stays in codegen
+    assert compile_mapping(LIB_CONFIG).supports_columns() is True
+
+
+def test_library_builtins_nonliteral_params_fall_back(spark):
+    """Delimiters/patterns must be literals in the column backend (they
+    parameterize the expression); data-derived ones fall back to pandas."""
+    cfg = "out O: P(root);\ndef P(i) { parts: $StrSplit(i.s, i.d); }"
+    m = compile_mapping(cfg)
+    assert m.supports_columns() is False
+    df = spark.createDataFrame([("x", '{"s":"a|b","d":"|"}')], "id string, data string")
+    assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == (
+        '{"O":[{"parts":["a","b"]}]}'
+    )

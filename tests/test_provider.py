@@ -147,3 +147,78 @@ def test_diamond_imports_allowed(config_tree):
         load_mapping_config(
             str(config_tree / "cyc2.wstl"), import_root=str(config_tree)
         )
+
+
+def test_engine_config_envelope(tmp_path):
+    """The EP2 runner's main.textproto shape (library_config +
+    structure_mapping_config, runner/dicomtofhir/main.textproto): the
+    envelope resolves $MAPPING_ENGINE_HOME, loads every user library plus
+    the main config (with its own Whistle imports), and yields one
+    self-contained compilable config. load_mapping_config auto-detects the
+    envelope."""
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_compile import (
+        compile_mapping,
+    )
+    from healthcare_data_harmonization_dataflow_spark.provider.engine_config import (
+        load_engine_config,
+        parse_engine_config,
+    )
+
+    home = tmp_path / "engine"
+    (home / "projector_library").mkdir(parents=True)
+    (home / "configurations").mkdir()
+    (home / "projector_library" / "lib.wstl").write_text(
+        "def Lib(input) { v: $ToUpper(input.x); }\n"
+    )
+    (home / "configurations" / "extra.wstl").write_text(
+        "def Extra(input) { e: input.y; }\n"
+    )
+    (home / "configurations" / "main.wstl").write_text(
+        'import "extra.wstl";\nout Output: Lib(root);\nout Output: Extra(root);\n'
+    )
+    envelope = tmp_path / "main.textproto"
+    envelope.write_text(
+        """
+# engine config (reference shape)
+library_config: {
+  user_libraries: {
+    type: MAPPING_LANGUAGE
+    path: { local_path: "$MAPPING_ENGINE_HOME/projector_library/lib.wstl" }
+  }
+}
+structure_mapping_config: {
+  mapping_path_config: {
+    mapping_type: MAPPING_LANGUAGE
+    mapping_config_path: {
+      local_path: "$MAPPING_ENGINE_HOME/configurations/main.wstl"
+    }
+  }
+}
+"""
+    )
+    env = {"MAPPING_ENGINE_HOME": str(home)}
+    parsed = parse_engine_config(envelope.read_text(), env)
+    assert parsed.library_paths == [str(home / "projector_library" / "lib.wstl")]
+    assert parsed.mapping_path == str(home / "configurations" / "main.wstl")
+
+    combined = load_engine_config(str(envelope), env=env)
+    assert "def Lib" in combined and "def Extra" in combined
+    assert "import" not in combined
+    got = compile_mapping(combined).transform('{"x":"ab","y":3}')
+    assert got == '{"Output":[{"v":"AB"},{"e":3}]}'
+
+    # auto-detection through the ordinary load path
+    import os as _os
+
+    _os.environ["MAPPING_ENGINE_HOME"] = str(home)
+    try:
+        auto = load_mapping_config(str(envelope))
+    finally:
+        del _os.environ["MAPPING_ENGINE_HOME"]
+    assert auto == combined
+
+    # fail-fast: unknown variable, missing mapping config
+    with pytest.raises(MappingConfigError, match="undefined variable"):
+        parse_engine_config(envelope.read_text(), env={})
+    with pytest.raises(MappingConfigError, match="structure_mapping_config"):
+        parse_engine_config("library_config: {}", env=env)
