@@ -131,10 +131,15 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
             os.environ.get("BENCH_STREAM_PARTITIONS", "16"),
         )
         try:
+            # BENCH_ASSEMBLY=window measures the pure-JVM session_window
+            # plan (no Python state, but also no bundle chunking — the hot
+            # conversation renders as one row)
+            assembly = os.environ.get("BENCH_ASSEMBLY", "state_v1")
             pipe = HarmonizationPipeline(
                 mapping_config=CFG,
                 out_dir=os.path.join(root, "out"),
                 trigger={"availableNow": True},
+                assembly=assembly,
                 max_files_per_trigger=max_files,  # bounds rows per micro-batch
                 # the generator's conversations START anywhere in a 24h span
                 # (plus rare 1h-late rows), so the correctness watermark must
@@ -143,7 +148,7 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
                 watermark_delay="36 hours",
                 # production bundle-size cap: the hot conversation otherwise
                 # renders one giant JSON bundle in a single task (serial tail)
-                max_turns_per_bundle=10_000,
+                max_turns_per_bundle=None if assembly == "window" else 10_000,
             )
             t0 = time.time()
             q = pipe.run_harmonization(spark, inp, os.path.join(root, "ckpt"))

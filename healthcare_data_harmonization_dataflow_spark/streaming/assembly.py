@@ -254,3 +254,53 @@ def _parse_seconds(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}
     return int(n) * mult[unit]
+
+
+def assemble_sessions_window(
+    transcripts,
+    gap: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+):
+    """Pure-JVM streaming session assembly: the built-in ``session_window``
+    aggregation instead of Python state — ZERO Python in the hot path, the
+    whole operator lives in Tungsten's streaming session aggregation.
+
+    Output-identical to :func:`assemble_sessions_stateful` for the common
+    feature set (tests assert byte equality): session split where the
+    inter-turn gap reaches ``gap`` (session_window merges windows that
+    overlap, i.e. diff < gap), ``session_end`` = last ts + gap (the merged
+    window's end), bundle = compact JSON of turns sorted by
+    (turn_idx, role, text) — ``to_json`` with ``ignoreNullFields=false``
+    renders byte-identically to the state handler's ``json.dumps``.
+    Emission when the watermark passes the session end (append mode), the
+    same completion rule as the stateful drain; rows behind the watermark
+    are dropped (allowedLateness=ZERO).
+
+    Reach for the STATEFUL operator only when its extras are needed:
+    ``max_turns_per_bundle`` chunking of giant sessions, or custom per-drain
+    instrumentation. Everything else should prefer this plan — Catalyst
+    handles partial aggregation, state-store layout and skew, and the
+    per-batch Arrow round-trip disappears."""
+    from pyspark.sql import functions as F
+
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    ).withWatermark("ts", watermark_delay)
+    return (
+        t.groupBy("conv_id", F.session_window("ts", gap).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text"))
+            ).alias("_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.to_json(F.col("_turns"), {"ignoreNullFields": "false"}).alias(
+                "bundle"
+            ),
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+        )
+    )

@@ -44,7 +44,10 @@ class HarmonizationPipeline:
     trigger: dict = field(default_factory=lambda: {"processingTime": "5 seconds"})
     error_shards: int = 10  # --errorLogShardNum default, Hl7v2ToFhirStreamingRunner.java:133-137
     max_files_per_trigger: int | None = None  # None = let availableNow take everything
-    assembly: str = "state_v1"  # "state_v1" (applyInPandasWithState) | "tws" (transformWithState)
+    # "window" (built-in session_window agg, pure JVM — preferred when no
+    # bundle chunking is needed) | "state_v1" (applyInPandasWithState) |
+    # "tws" (transformWithState, protobuf-gated)
+    assembly: str = "state_v1"
     max_turns_per_bundle: int | None = None  # bundle-size cap (hot-conv chunking)
     # the reference's --enablePerformanceMetrics: per-element transform
     # latency Distribution (forces the Arrow/pandas mapping backend)
@@ -92,7 +95,18 @@ class HarmonizationPipeline:
         ok = ok_rows(m).select(
             "conv_id", "turn_idx", "role", F.col("ok").alias("text"), "ts"
         )
-        if self.assembly == "tws":
+        if self.assembly == "window":
+            from .assembly import assemble_sessions_window
+
+            if self.max_turns_per_bundle:
+                raise ValueError(
+                    "assembly='window' has no bundle chunking; use "
+                    "assembly='state_v1' with max_turns_per_bundle"
+                )
+            bundles = assemble_sessions_window(
+                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+            )
+        elif self.assembly == "tws":
             from .assembly_tws import assemble_sessions_tws, tws_available
 
             if not tws_available():

@@ -779,3 +779,68 @@ def test_tws_handler_logic_with_mocked_state():
     assert out[0].to_dict("records")[0]["n_turns"] == 1
     assert handle.states["turns"].rows == []
     assert handle.states["max_ts"].v is None
+
+
+def test_window_assembly_matches_v1(spark, tmp_path):
+    """The pure-JVM session_window assembly must produce byte-identical
+    bundles (and identical session bounds) to the stateful reference path,
+    including session-gap splits — and its streaming plan must contain NO
+    Python stage."""
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    _write_input(spark, inp, total_turns=300)
+
+    outs = {}
+    for mode in ("state_v1", "window"):
+        pipe = HarmonizationPipeline(
+            mapping_config=CFG,
+            out_dir=os.path.join(tmp, f"out_{mode}"),
+            session_gap="2 minutes",
+            watermark_delay="36 hours",
+            trigger={"availableNow": True},
+            max_files_per_trigger=4,
+            assembly=mode,
+        )
+        q = pipe.run_harmonization(spark, inp, os.path.join(tmp, f"ck_{mode}"))
+        q.awaitTermination(300)
+        outs[mode] = {
+            (
+                r["conv_id"],
+                r["n_turns"],
+                r["bundle"],
+                r["session_start"],
+                r["session_end"],
+            )
+            for r in pipe.bundles(spark)
+            .filter(F.col("conv_id") != "conv-sentinel")
+            .collect()
+        }
+    assert outs["window"] == outs["state_v1"]
+    assert len(outs["window"]) > 0
+
+    # zero Python in the hot path: the batch shape of the same plan
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly import (
+        assemble_sessions_window,
+    )
+
+    batch_plan = (
+        assemble_sessions_window(
+            spark.createDataFrame(
+                [("c", 0, "user", "t", __import__("datetime").datetime(2024, 1, 1))],
+                "conv_id string, turn_idx int, role string, text string, ts timestamp",
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in batch_plan
+
+    # chunking is a stateful-only feature: asking for both fails fast
+    with pytest.raises(ValueError, match="chunking"):
+        HarmonizationPipeline(
+            mapping_config=CFG,
+            out_dir=os.path.join(tmp, "out_bad"),
+            assembly="window",
+            max_turns_per_bundle=10,
+        ).run_harmonization(spark, inp, os.path.join(tmp, "ck_bad"))
