@@ -446,6 +446,20 @@ def q_custom_to_fhir(spark, sf_dir):
     return ok_rows(out).select("source_table", "data", "bundle")
 
 
+def q_session_assembly(spark, sf_dir):
+    """The pure-JVM streaming assembly plan (built-in session_window
+    aggregation, zero Python) in its batch shape: gap-split sessions per
+    conversation, sorted compact-JSON bundle, window bounds = [first ts,
+    last ts + gap]. Oracle reproduces the split with a lag/cumsum window
+    and the render with to_json(struct_pack(...))."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly import (
+        assemble_sessions_window,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    return assemble_sessions_window(t, gap="5 minutes")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     return S.embedding_cosine_pairs(_emb(spark, sf_dir), threshold_ppm=300_000)
 
@@ -568,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
+        "session_assembly": q_session_assembly,
         "attach_tool_calls": q_attach_tool_calls,
         "asof_join": q_asof_join,
         "enrich_broadcast": q_enrich_broadcast,
@@ -674,6 +689,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
                    CAST(count(*) AS BIGINT) AS n
             FROM starts GROUP BY 1
+        """,
+        "session_assembly": f"""
+            WITH t AS ({TRANSCRIPTS_SQL}),
+            o AS (
+              SELECT conv_id, turn_idx, role, text, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id
+                                                  ORDER BY ts, turn_idx)
+                               >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM t
+            ),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   concat('[', string_agg(
+                       to_json(struct_pack(turn_idx := turn_idx,
+                                           role := role, text := text)),
+                       ',' ORDER BY turn_idx, role, text), ']') AS bundle,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 5 MINUTE AS session_end
+            FROM s GROUP BY conv_id, sid
         """,
         "session_window": """
             WITH o AS (
