@@ -36,8 +36,11 @@ CFG = "out Output: Proj(root);\ndef Proj(input) { foo: input.bar; }"
 BENCH_QUERIES = [
     "mapping_transform",
     "mapping_nested",
+    "mapping_iterate",
     "fhir_bundle_wrap",
+    "hl7v2_harmonize",
     "bundle_assembly",
+    "session_assembly",
     "tumbling_window",
     "sliding_window",
     "session_window",

@@ -48,6 +48,15 @@ def main() -> None:
     ap.add_argument("--available-now", action="store_true",
                     help="bounded run: drain what exists, then stop")
     ap.add_argument("--error-shards", type=int, default=10)
+    ap.add_argument("--assembly", default="state_v1",
+                    choices=["state_v1", "window", "tws"],
+                    help="session assembly: applyInPandasWithState (default;"
+                    " supports --max-turns-per-bundle), built-in"
+                    " session_window aggregation (pure JVM), or"
+                    " transformWithState (needs protobuf)")
+    ap.add_argument("--max-turns-per-bundle", type=int, default=None,
+                    help="chunk giant sessions into bundles of at most N"
+                    " turns (state_v1 only)")
     args = ap.parse_args()
 
     # imports deferred so --help works without a JVM
@@ -84,6 +93,8 @@ def main() -> None:
         watermark_delay=args.watermark_delay,
         trigger=trigger,
         error_shards=args.error_shards,
+        assembly=args.assembly,
+        max_turns_per_bundle=args.max_turns_per_bundle,
         enable_performance_metrics=args.enable_performance_metrics,
     )
     listener = MetricsListener(path=f"{args.out}/metrics/progress.jsonl")
