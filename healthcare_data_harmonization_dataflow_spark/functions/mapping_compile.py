@@ -412,6 +412,19 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 return b
 
             kinds = {_kind(b) for b in branches}
+            if len(kinds) > 1:
+                # a STRING/BOOL literal branch is statically typed: coerce
+                # it to the sibling branch's kind so the common real-world
+                # `$If(c, "lit", $StrCat(...))` shape stays projective
+                coerced = []
+                for node, b in zip(expr.args[1:], branches):
+                    if isinstance(node, Lit) and isinstance(node.value, str):
+                        b = _StrCol(F.lit(node.value))
+                    elif isinstance(node, Lit) and isinstance(node.value, bool):
+                        b = _BoolCol(F.lit(node.value))
+                    coerced.append(b)
+                branches = coerced
+                kinds = {_kind(b) for b in branches}
             if "other" in kinds or len(kinds) > 1:
                 raise MappingConfigError(
                     "column backend: $If branches must be uniform values"

@@ -179,3 +179,70 @@ def test_extended_subset_backends_agree(spark, payloads):
         for r in apply_mapping(df, EXT_CFG, backend="pandas", clock=clock).collect()
     }
     assert got_c == got_p
+
+
+# round-3 language features under structural fuzz: var bindings, if/else,
+# iteration, and the builtin library, on arbitrary nested inputs — both
+# backends must stay byte-identical (the column backend must also keep
+# compiling, i.e. the config stays projective for every input shape)
+RICH_CFG = """
+out Output: P(root);
+def P(input) {
+  var kind: $ToString(input.kind);
+  k: kind;
+  if $Eq(input.kind, "a") {
+    branch: "A";
+    n: $ParseInt(input.num);
+  } else {
+    branch: $StrCat("B:", kind);
+  }
+  nil: $IsNil(input.items);
+  len: $ListLen(input.items);
+  mapped: It(input.items[]);
+}
+def It(e) {
+  u: $ToUpper(e.s);
+  ok: $MatchesRegex($ToString(e.s), "[a-z]*");
+}
+"""
+
+_rich_item = st.fixed_dictionaries(
+    {}, optional={"s": _scalar, "extra": _scalar}
+)
+_rich_payload = st.builds(
+    lambda kind, num, items: json.dumps(
+        {"kind": kind, "num": num, "items": items}
+    ),
+    st.one_of(st.sampled_from(["a", "b"]), _scalar),
+    st.one_of(st.text(max_size=6), st.integers(-100, 100), st.none()),
+    st.one_of(
+        st.lists(_rich_item, max_size=4), _scalar
+    ),  # sometimes not an array
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_rich_payload, min_size=1, max_size=20))
+def test_rich_language_backends_agree_on_arbitrary_input(spark, payloads):
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_compile import (
+        compile_mapping,
+    )
+
+    assert compile_mapping(RICH_CFG).supports_columns() is True
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "id string, data string"
+    )
+    clock = "2024-01-01T00:00:00Z"
+    got_c = {
+        r["id"]: r["ok"]
+        for r in apply_mapping(df, RICH_CFG, backend="columns", clock=clock).collect()
+    }
+    got_p = {
+        r["id"]: r["ok"]
+        for r in apply_mapping(df, RICH_CFG, backend="pandas", clock=clock).collect()
+    }
+    assert got_c == got_p
