@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -35,8 +36,20 @@ def run_level(cpus: int, n_turns: int, mode: str = "harmonize_only") -> dict:
         BENCH_MODE=mode,
         BENCH_TURNS=str(n_turns),
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        # HARD-cap the whole process tree at N CPUs. local[N] only limits
+        # TASK threads — GC, JIT, shuffle IO and Py4J threads run beyond
+        # them, so an unpinned "local[2]" JVM was observed sustaining >4
+        # cores of CPU, inflating the low level and making the N-vs-4N
+        # ratio meaningless. Pinning makes "N cores" mean N cores — the
+        # same accounting a cluster manager's CPU quota enforces per
+        # executor, i.e. exactly what the north rule's two-cluster-size
+        # comparison assumes.
+        total = os.cpu_count() or cpus
+        cmd = ["taskset", "-c", f"{total - cpus}-{total - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
