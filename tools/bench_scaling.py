@@ -12,8 +12,12 @@ Methodology notes (hard-won):
   best of two measured runs (cold generated-code paths are ~5x slower);
 * the host is multi-tenant with time-varying background load, so the two
   levels are INTERLEAVED (lo,hi,lo,hi) and the per-level best is used;
-* levels default to 4 and 16 because the box delivers ~20-24 effective
-  cores: an 8-vs-32 pair would measure the host's ceiling, not the engine.
+* levels default to 4 and 16; an 8-vs-32 pair would measure the host's
+  ceiling (~20-24 effective cores), not the engine. Round 3 runs 2-vs-8.
+* each level is PINNED to its core count with taskset (round 3): local[N]
+  only caps task threads, and the surplus CPU that GC/JIT/IO threads grab
+  is proportionally larger at small N, which silently flattered the low
+  level.
 
 Usage: python tools/bench_scaling.py [n_turns] [lo] [hi] [rounds]
 """
