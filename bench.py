@@ -263,6 +263,22 @@ def main():
                 "streaming_1m_output_turns": s1[4],
             }
         )
+        # the pure-JVM session_window assembly at the same scale — the
+        # fastest correct configuration (no Python state in the hot path);
+        # the state_v1 figures above remain the headline because the
+        # north-star names the flatMapGroupsWithState-style mechanism
+        if os.environ.get("BENCH_ASSEMBLY", "state_v1") == "state_v1":
+            os.environ["BENCH_ASSEMBLY"] = "window"
+            try:
+                sw = bench_streaming(spark, 1_000_000, n_files=36)
+            finally:
+                del os.environ["BENCH_ASSEMBLY"]
+            stream_stats.update(
+                {
+                    "streaming_1m_window_turns_per_sec": round(sw[1]),
+                    "streaming_1m_window_output_turns": sw[4],
+                }
+            )
 
     h_sec = min(bench_harmonize(spark, n_turns) for _ in range(2))
     queries_sec["harmonize_1m_turns"] = round(h_sec, 3)
