@@ -157,6 +157,42 @@ def Ev(e) {
 """
 
 
+REFORMAT_CFG = """
+out Output: P(root);
+def P(input) {
+  day: $ReformatTime(input.ts_s, "yyyy-MM-dd HH:mm:ss", "dd.MM.yyyy");
+  hour: $ReformatTime(input.ts_s, "yyyy-MM-dd HH:mm:ss", "HH");
+  code: $ToUpper($SubStr(input.etype, 0, 3));
+  clean: $Trim(input.pad);
+  cat: $ListCat(input.xs, input.ys);
+}
+"""
+
+
+def q_mapping_reformat(spark, sf_dir):
+    """Second-wave builtins ($ReformatTime/$SubStr/$Trim/$ListCat) over the
+    events table — stays entirely in the codegen column backend (the
+    config is projective; apply_mapping compiles it to VARIANT
+    expressions, one scan, no Python)."""
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                F.col("event_type").alias("etype"),
+                F.concat(F.lit("  "), F.col("event_type"), F.lit("  ")).alias(
+                    "pad"
+                ),
+                F.array("event_id").alias("xs"),
+                F.array("user_id").alias("ys"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, REFORMAT_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_iterate(spark, sf_dir):
     per_user = (
         _events(spark, sf_dir)
@@ -575,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_transform": q_mapping_transform,
         "mapping_nested": q_mapping_nested,
         "mapping_iterate": q_mapping_iterate,
+        "mapping_reformat": q_mapping_reformat,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -647,6 +684,15 @@ def oracle_sql() -> dict[str, str]:
                                      ',' ORDER BY event_id),
                           ']}]}') AS output
             FROM events GROUP BY user_id
+        """,
+        "mapping_reformat": """
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"day":"', strftime(ts, '%d.%m.%Y'),
+                          '","hour":"', strftime(ts, '%H'),
+                          '","code":"', upper(substr(event_type, 1, 3)),
+                          '","clean":"', trim(event_type),
+                          '","cat":[', event_id, ',', user_id, ']}]}') AS output
+            FROM events
         """,
         "mapping_deadletter": """
             SELECT concat('d', doc_id) AS id, 'mapping' AS step,

@@ -34,6 +34,8 @@ from ..model.errors import RecoverableMappingError
 from . import json_canon
 from .json_canon import _MISSING
 from .mapping_lang import (
+    _FULL_DATE,
+    _TIME_TOKENS,
     Arr,
     Builtin,
     Call,
@@ -42,6 +44,7 @@ from .mapping_lang import (
     MappingConfig,
     MappingConfigError,
     Path,
+    _time_translate,
     nest_fields,
     parse_mapping_config,
 )
@@ -157,6 +160,40 @@ def _lit_str(node, what: str) -> str:
     raise MappingConfigError(
         f"column backend: {what} must be a string literal"
     )
+
+
+def _lit_int(node, what: str) -> int:
+    """Builtin arguments that must be compile-time integer literals in the
+    column backend (substring bounds parameterize the expression)."""
+    if (
+        isinstance(node, Lit)
+        and isinstance(node.value, int)
+        and not isinstance(node.value, bool)
+    ):
+        return node.value
+    raise MappingConfigError(
+        f"column backend: {what} must be an integer literal"
+    )
+
+
+def _time_fmt(node, what: str, need_full_date: bool = False) -> str:
+    """Compile-time validation of a $ReformatTime pattern literal: must be
+    inside the supported token subset, and an INPUT pattern must carry a
+    full date (yyyy+MM+dd) — otherwise the two backends would disagree on
+    defaulted fields (Spark defaults a missing date to 1970-01-01,
+    strptime to 1900-01-01)."""
+    s = _lit_str(node, what)
+    tr = _time_translate(s)
+    if tr is None:
+        raise MappingConfigError(
+            f"{what}: unsupported time pattern {s!r} "
+            f"(tokens: {sorted(_TIME_TOKENS)}, each at most once)"
+        )
+    if need_full_date and not _FULL_DATE <= tr[1]:
+        raise MappingConfigError(
+            f"{what}: input pattern {s!r} must include yyyy, MM and dd"
+        )
+    return s
 
 
 def _cond_col(cond) -> Column:
@@ -381,6 +418,46 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             raise MappingConfigError(
                 "column backend: $ListLen needs an array value"
             )
+        if expr.name == "$Trim":
+            # space-only trim (Spark's trim strips 0x20 exactly; the pandas
+            # backend mirrors with str.strip(" "))
+            return _StrCol(F.trim(_str_form(args[0])))
+        if expr.name == "$SubStr":
+            start = _lit_int(expr.args[1], "$SubStr start")
+            end = _lit_int(expr.args[2], "$SubStr end")
+            if start < 0 or end < start:
+                raise MappingConfigError(
+                    "$SubStr needs literal bounds with 0 <= start <= end"
+                )
+            # python-slice clamping: substring's pos/len form clamps at the
+            # string end the same way s[start:end] does
+            return _StrCol(
+                F.substring(_str_form(args[0]), start + 1, end - start)
+            )
+        if expr.name == "$ReformatTime":
+            in_fmt = _time_fmt(
+                expr.args[1], "$ReformatTime input format", need_full_date=True
+            )
+            out_fmt = _time_fmt(expr.args[2], "$ReformatTime output format")
+            ts = F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt))
+            # unparseable/missing -> NULL timestamp -> NULL string -> field
+            # omitted, matching the pandas backend's _MISSING
+            return _StrCol(F.date_format(ts, out_fmt))
+        if expr.name == "$ListCat":
+            cols = []
+            for a in args:
+                if isinstance(a, _ArrCol) and a.elem == "variant":
+                    cols.append(a.col)
+                elif isinstance(a, Column):
+                    cols.append(F.try_variant_get(a, "$", "array<variant>"))
+                else:
+                    # literal/str-typed arrays: pandas backend territory
+                    raise MappingConfigError(
+                        "column backend: $ListCat needs data-derived arrays"
+                    )
+            # concat is null-intolerant: any missing/non-array argument
+            # yields NULL, matching the pandas backend's any-non-list rule
+            return _ArrCol(F.concat(*cols), "variant")
         if expr.name == "$Not":
             # true iff the value is NOT JSON true: a false/missing/non-bool
             # condition negates to true (the else-branch desugar target);
@@ -659,6 +736,54 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 )
             if expr.name == "$ListLen":
                 return len(vals[0]) if isinstance(vals[0], list) else _MISSING
+            if expr.name == "$Trim":
+                s = _scalar_str(vals[0])
+                # Spark's trim strips spaces (0x20) only — not all whitespace
+                return _MISSING if s is _MISSING else s.strip(" ")
+            if expr.name == "$SubStr":
+                s = _scalar_str(vals[0])
+                start, end = vals[1], vals[2]
+                if (
+                    s is _MISSING
+                    or not isinstance(start, int)
+                    or not isinstance(end, int)
+                    or isinstance(start, bool)
+                    or isinstance(end, bool)
+                    or not 0 <= start <= end
+                ):
+                    return _MISSING
+                return s[start:end]
+            if expr.name == "$ReformatTime":
+                s = _scalar_str(vals[0])
+                tr_in = _time_translate(vals[1])
+                tr_out = _time_translate(vals[2])
+                if (
+                    s is _MISSING
+                    or tr_in is None
+                    or tr_out is None
+                    or not _FULL_DATE <= tr_in[1]
+                ):
+                    return _MISSING
+                from datetime import datetime as _datetime
+
+                try:
+                    dt = _datetime.strptime(s, tr_in[0])
+                except ValueError:
+                    return _MISSING
+                # strict-parse parity: strptime tolerates unpadded fields
+                # ("2024-1-05" under %m) that Spark's corrected parser
+                # rejects — requiring the canonical re-rendering to equal
+                # the input enforces the same zero-padded forms
+                if dt.strftime(tr_in[0]) != s:
+                    return _MISSING
+                return dt.strftime(tr_out[0])
+            if expr.name == "$ListCat":
+                if any(not isinstance(v, list) for v in vals):
+                    return _MISSING
+                out_l: list = []
+                for v in vals:
+                    out_l.extend(v)
+                return out_l
             if expr.name == "$Eq":
                 a, b = vals
                 if a is _MISSING or b is _MISSING:

@@ -27,7 +27,9 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   maps over the array source element-wise, producing an array; a missing
   or non-array source yields missing), array construction (``[a, b, c]``
   — a missing element renders as JSON null, preserving positions), builtin
-  calls (``$ToUpper/$ToLower/$StrCat/$Hash``), conditionals
+  calls (``$ToUpper/$ToLower/$StrCat/$Hash/$Trim/$SubStr/$ReformatTime/
+  $ListCat`` + the coercion/parsing/regex library — see ``BUILTINS``),
+  conditionals
   (``$Eq``/``$If``/``$Not``, strict-boolean, canonical-JSON equality),
   ``root`` = whole input
 * textproto root mappings (e2e corpus,
@@ -112,7 +114,71 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$MatchesRegex": (2, 2),
     "$IsNil": (1, 1),
     "$ListLen": (1, 1),
+    # round-3 second wave: whitespace trim, python-slice substring
+    # ($SubStr(v, start, end) with literal 0 <= start <= end), timestamp
+    # reformatting ($ReformatTime(v, in_fmt, out_fmt) with Java-style
+    # patterns restricted to yyyy/MM/dd/HH/mm/ss runs + separators; in_fmt
+    # must carry a full date so both backends agree on defaulted fields),
+    # and array concatenation ($ListCat(a, b, ...) over data arrays)
+    "$Trim": (1, 1),
+    "$SubStr": (3, 3),
+    "$ReformatTime": (3, 3),
+    "$ListCat": (2, None),
 }
+
+# Java-pattern tokens the $ReformatTime subset supports, with their strftime
+# translations. The subset is the intersection where Spark's corrected
+# DateTimeFormatter parser and Python's strptime/strftime agree byte-for-byte
+# (two-digit zero-padded fields, four-digit year) — the pandas backend
+# additionally round-trips the parsed value through the input format so a
+# sloppy form strptime would accept (e.g. "2024-1-05" for MM) is rejected
+# exactly like the strict Java parser rejects it.
+_TIME_TOKENS = {
+    "yyyy": "%Y",
+    "MM": "%m",
+    "dd": "%d",
+    "HH": "%H",
+    "mm": "%M",
+    "ss": "%S",
+}
+_FULL_DATE = frozenset(("yyyy", "MM", "dd"))
+
+
+def _time_translate(fmt) -> "tuple[str, frozenset] | None":
+    """Java-style pattern -> (strftime pattern, token set); None when the
+    pattern falls outside the supported subset (unknown letter runs,
+    repeated fields — strptime rejects duplicate directives — or an
+    unterminated quoted literal)."""
+    if not isinstance(fmt, str) or not fmt:
+        return None
+    out: list[str] = []
+    seen: set[str] = set()
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c.isalpha():
+            j = i
+            while j < n and fmt[j] == c:
+                j += 1
+            tok = fmt[i:j]
+            py = _TIME_TOKENS.get(tok)
+            if py is None or tok in seen:
+                return None
+            seen.add(tok)
+            out.append(py)
+            i = j
+        elif c == "'":
+            # Java quoted literal ('T' in ISO patterns); '' = a literal quote
+            j = fmt.find("'", i + 1)
+            if j < 0:
+                return None
+            lit = fmt[i + 1 : j] or "'"
+            out.append(lit.replace("%", "%%"))
+            i = j + 1
+        else:
+            out.append("%%" if c == "%" else c)
+            i += 1
+    return "".join(out), frozenset(seen)
 
 
 @dataclass(frozen=True)
@@ -234,6 +300,33 @@ class MappingConfig:
                 raise MappingConfigError(
                     f"builtin '{expr.name}' arity mismatch: got {len(expr.args)}"
                 )
+            # fail-fast on literal arguments that can never be valid — the
+            # MappingFn contract rejects a broken config at load, before
+            # any data flows (MappingFn.java:156-192)
+            if expr.name == "$SubStr":
+                bounds = [
+                    a.value
+                    for a in expr.args[1:]
+                    if isinstance(a, Lit)
+                    and isinstance(a.value, int)
+                    and not isinstance(a.value, bool)
+                ]
+                if len(bounds) == 2 and not 0 <= bounds[0] <= bounds[1]:
+                    raise MappingConfigError(
+                        "$SubStr literal bounds need 0 <= start <= end"
+                    )
+            if expr.name == "$ReformatTime":
+                for pos, a in enumerate(expr.args[1:], start=1):
+                    if not (isinstance(a, Lit) and isinstance(a.value, str)):
+                        continue  # dynamic pattern: pandas backend, runtime nil
+                    tr = _time_translate(a.value)
+                    if tr is None or (pos == 1 and not _FULL_DATE <= tr[1]):
+                        raise MappingConfigError(
+                            f"$ReformatTime literal pattern {a.value!r} is "
+                            "outside the supported subset (tokens "
+                            f"{sorted(_TIME_TOKENS)} each at most once; the "
+                            "input pattern must include yyyy, MM and dd)"
+                        )
             for a in expr.args:
                 self._check(a, bound, _stack)
             return

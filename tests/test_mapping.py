@@ -737,3 +737,81 @@ def test_library_builtins_nonliteral_params_fall_back(spark):
     assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == (
         '{"O":[{"parts":["a","b"]}]}'
     )
+
+
+LIB2_CONFIG = """
+out Output: P(root);
+def P(i) {
+  t: $Trim(i.pad);
+  sub: $SubStr(i.name, 1, 3);
+  over: $SubStr(i.name, 0, 99);
+  rt: $ReformatTime(i.when, "yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy");
+  iso: $ReformatTime(i.day, "yyyy-MM-dd", "yyyy-MM-dd'T'HH:mm:ss");
+  bad: $ReformatTime(i.name, "yyyy-MM-dd", "MM");
+  cat: $ListCat(i.xs, i.ys);
+  catm: $ListCat(i.xs, i.name);
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_second_wave_builtins_golden(spark, backend):
+    """$Trim/$SubStr/$ReformatTime/$ListCat: byte-identical on both
+    backends, incl. space-only trim, slice clamping past the string end,
+    quoted 'T' literals in time patterns, unparseable input omitting the
+    field, non-canonical (unpadded) date forms rejected by BOTH backends
+    (the strptime round-trip mirrors the strict Java parser), and ListCat
+    null-propagating when any argument is not an array."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"pad":"  hi!  ","name":"robert",'
+                  '"when":"2024-03-05 14:30:09","day":"2024-12-31",'
+                  '"xs":[1,"x"],"ys":[true,null]}'),
+            ("b", '{"name":"ab","day":"2024-2-05"}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, LIB2_CONFIG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"t":"hi!","sub":"ob","over":"robert",'
+        '"rt":"05/03/2024","iso":"2024-12-31T00:00:00",'
+        '"cat":[1,"x",true,null]}]}'
+    )
+    # day "2024-2-05" is NOT canonical under MM: the strict parser (and the
+    # pandas round-trip check) rejects it — only the substring fields emit
+    assert oks["b"] == '{"Output":[{"sub":"b","over":"ab"}]}'
+    # the whole second wave stays in codegen
+    assert compile_mapping(LIB2_CONFIG).supports_columns() is True
+
+
+def test_second_wave_fail_fast_on_bad_literals():
+    """Invalid literal arguments reject at config load (MappingFn.java
+    fail-fast contract), on BOTH backends, before any data flows."""
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out O: P(root);\ndef P(i) { x: $SubStr(i.s, 3, 1); }")
+    with pytest.raises(MappingConfigError):
+        # unknown pattern letter run
+        compile_mapping(
+            'out O: P(root);\ndef P(i) { x: $ReformatTime(i.s, "qqq", "yyyy"); }'
+        )
+    with pytest.raises(MappingConfigError):
+        # input pattern without a full date: backends would disagree on
+        # defaulted fields, so the subset rejects it up front
+        compile_mapping(
+            'out O: P(root);\ndef P(i) { x: $ReformatTime(i.s, "HH:mm", "HH"); }'
+        )
+
+
+def test_listcat_literal_arrays_fall_back(spark):
+    """$ListCat over a literal/builtin-result array is outside the column
+    backend's subset; auto falls back to pandas and still concatenates."""
+    cfg = 'out O: P(root);\ndef P(i) { c: $ListCat($StrSplit(i.s, ","), i.xs); }'
+    m = compile_mapping(cfg)
+    assert m.supports_columns() is False
+    df = spark.createDataFrame(
+        [("x", '{"s":"a,b","xs":[1]}')], "id string, data string"
+    )
+    assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == (
+        '{"O":[{"c":["a","b",1]}]}'
+    )

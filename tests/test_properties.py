@@ -151,7 +151,16 @@ _ext_payload = st.one_of(
     st.builds(
         lambda v, c, a: json.dumps({"bar": v, "cat": c, "active": a}),
         _scalar,
-        st.one_of(st.text(max_size=8), st.integers(), st.none()),
+        # int64-bounded: the engine's numeric envelope is Spark VARIANT
+        # (int64 / decimal(38) / double). Integers past 38 digits demote to
+        # double in the column backend while Python keeps arbitrary
+        # precision — outside the transcript data model (int32/int64
+        # columns), so the fuzz stays inside the documented envelope
+        st.one_of(
+            st.text(max_size=8),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.none(),
+        ),
         st.one_of(st.booleans(), st.text(max_size=4), st.none()),
     ),
     st.builds(lambda d: json.dumps(d), st.dictionaries(st.text(max_size=8), _scalar, max_size=4)),
@@ -199,6 +208,10 @@ def P(input) {
   nil: $IsNil(input.items);
   len: $ListLen(input.items);
   mapped: It(input.items[]);
+  tr: $Trim(kind);
+  ss: $SubStr(kind, 0, 2);
+  when: $ReformatTime(input.day, "yyyy-MM-dd", "dd.MM.yyyy");
+  cat2: $ListCat(input.items, input.items);
 }
 def It(e) {
   u: $ToUpper(e.s);
@@ -210,14 +223,25 @@ _rich_item = st.fixed_dictionaries(
     {}, optional={"s": _scalar, "extra": _scalar}
 )
 _rich_payload = st.builds(
-    lambda kind, num, items: json.dumps(
-        {"kind": kind, "num": num, "items": items}
+    lambda kind, num, items, day: json.dumps(
+        {"kind": kind, "num": num, "items": items, "day": day}
     ),
     st.one_of(st.sampled_from(["a", "b"]), _scalar),
     st.one_of(st.text(max_size=6), st.integers(-100, 100), st.none()),
     st.one_of(
         st.lists(_rich_item, max_size=4), _scalar
     ),  # sometimes not an array
+    # valid canonical dates (years with 4-digit rendering), sloppy
+    # near-dates, and garbage — $ReformatTime must treat all three
+    # identically on both backends
+    st.one_of(
+        st.dates(
+            min_value=__import__("datetime").date(1000, 1, 1),
+            max_value=__import__("datetime").date(9999, 12, 31),
+        ).map(lambda d: d.isoformat()),
+        st.sampled_from(["2024-1-05", "2024-01-5", ""]),
+        st.text(max_size=12),
+    ),
 )
 
 
