@@ -124,7 +124,7 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
         t = generate_transcripts(spark, total_turns=n_turns)
         write_time_ordered_stream(t, inp, n_files=n_files)
         append_flush_sentinel(spark, inp)
-        listener = MetricsListener()
+        listener = MetricsListener(os.environ.get("BENCH_STREAM_PROFILE") or None)
         spark.streams.addListener(listener)
         # fewer state partitions locally: per-partition state-store commit
         # overhead dominates at this scale (cluster runs size this to cores)
@@ -202,11 +202,20 @@ def main():
         # scaling-evidence mode: the streaming pipeline alone, JIT-warmed,
         # best-of-2, at whatever parallelism the env selects; 10+ batches at
         # 1M turns so per-batch fixed costs don't dominate
+        # 8 single-row-group files per trigger, not 3: a parquet file with
+        # one row group is one scan split, so maxFilesPerTrigger bounds the
+        # scan+mapping stage's parallelism at BOTH scaling levels — 3 files
+        # capped the 8-core level at a 3-way scan and flattened measured
+        # efficiency to ~0.6 regardless of the engine. A real trigger over
+        # a 10^12-turn table pulls far more splits than cores; 8/trigger is
+        # the smallest layout where the 4N level is never scan-starved.
+        n_files = int(os.environ.get("BENCH_STREAM_FILES", 96))
+        max_files = int(os.environ.get("BENCH_STREAM_MAXFILES", 8))
         bench_streaming(spark, 50_000)
         best = None
         for _ in range(2):
             s_elapsed, s_tps, s_batch, s_nb, s_out = bench_streaming(
-                spark, n_turns, n_files=36
+                spark, n_turns, n_files=n_files, max_files=max_files
             )
             best = (s_elapsed, s_tps, s_batch, s_nb, s_out) if best is None or s_tps > best[1] else best
         print(
@@ -252,8 +261,11 @@ def main():
         # the at-scale figure: 1M turns over 12 micro-batches — per-batch
         # fixed costs (state commit, epoch planning) amortized the way a
         # long-running stream amortizes them; single run (it is 5x the
-        # 200k work, and the 200k best-of-2 already absorbed host noise)
-        s1 = bench_streaming(spark, 1_000_000, n_files=36)
+        # 200k work, and the 200k best-of-2 already absorbed host noise).
+        # 96 files / 8 per trigger: same batch count, but each batch scans
+        # 8 splits instead of 3 (single-row-group files are unsplittable,
+        # so files/trigger IS the scan+mapping parallelism)
+        s1 = bench_streaming(spark, 1_000_000, n_files=96, max_files=8)
         queries_sec["streaming_harmonize_1m"] = round(s1[0], 3)
         stream_stats.update(
             {
@@ -270,7 +282,7 @@ def main():
         if os.environ.get("BENCH_ASSEMBLY", "state_v1") == "state_v1":
             os.environ["BENCH_ASSEMBLY"] = "window"
             try:
-                sw = bench_streaming(spark, 1_000_000, n_files=36)
+                sw = bench_streaming(spark, 1_000_000, n_files=96, max_files=8)
             finally:
                 del os.environ["BENCH_ASSEMBLY"]
             stream_stats.update(

@@ -55,6 +55,13 @@ def build_session(
         # provider is config-switchable so tests run on the default HDFS store
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
     )
+    # ad-hoc conf via env — the local-mode analogue of `spark-submit
+    # --conf k=v`, e.g. SPARK_GRAFT_EXTRA_CONF="spark.eventLog.enabled=true;
+    # spark.eventLog.dir=/tmp/ev" for profiling runs
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

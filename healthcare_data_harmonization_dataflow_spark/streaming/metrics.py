@@ -75,6 +75,10 @@ class MetricsListener(StreamingQueryListener):
             "rows_per_sec": p.processedRowsPerSecond,
             "watermark": p.eventTime.get("watermark") if p.eventTime else None,
             "observed": {k: v.asDict() for k, v in (p.observedMetrics or {}).items()},
+            # engine-phase breakdown (addBatch / getBatch / walCommit /
+            # commitOffsets / queryPlanning / triggerExecution, ms) — the
+            # evidence for where per-batch fixed costs live
+            "duration_ms": dict(p.durationMs or {}),
             "wallclock": time.time(),
         }
         with self._lock:
