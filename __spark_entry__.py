@@ -165,6 +165,7 @@ def P(input) {
   code: $ToUpper($SubStr(input.etype, 0, 3));
   clean: $Trim(input.pad);
   cat: $ListCat(input.xs, input.ys);
+  stamp: $CurrentTime("yyyy-MM-dd HH:mm");
 }
 """
 
@@ -188,7 +189,10 @@ def q_mapping_reformat(spark, sf_dir):
             )
         ).alias("data"),
     )
-    return ok_rows(apply_mapping(inp, REFORMAT_CFG)).select(
+    # injected clock: $CurrentTime stays deterministic and oracle-checkable
+    return ok_rows(
+        apply_mapping(inp, REFORMAT_CFG, clock="2024-01-01T00:00:00Z")
+    ).select(
         "id", F.col("ok").alias("output")
     )
 
@@ -691,7 +695,8 @@ def oracle_sql() -> dict[str, str]:
                           '","hour":"', strftime(ts, '%H'),
                           '","code":"', upper(substr(event_type, 1, 3)),
                           '","clean":"', trim(event_type),
-                          '","cat":[', event_id, ',', user_id, ']}]}') AS output
+                          '","cat":[', event_id, ',', user_id,
+                          '],"stamp":"2024-01-01 00:00"}]}') AS output
             FROM events
         """,
         "mapping_deadletter": """

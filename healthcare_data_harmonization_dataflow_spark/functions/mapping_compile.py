@@ -69,20 +69,22 @@ class CompiledMapping:
             # the pandas backend
             return False
 
-    def output_column(self, data_col: Column | str) -> Column:
+    def output_column(self, data_col: Column | str, clock: str | None = None) -> Column:
         """Compile to a single Column: data JSON string -> output JSON string.
 
         Raises MappingConfigError if the config is outside the projective
         subset (caller falls back to the pandas backend).
         """
         data_col = F.col(data_col) if isinstance(data_col, str) else data_col
-        return self.output_column_from_variant(F.try_parse_json(data_col))
+        return self.output_column_from_variant(F.try_parse_json(data_col), clock)
 
-    def output_column_from_variant(self, root: Column) -> Column:
+    def output_column_from_variant(self, root: Column, clock: str | None = None) -> Column:
         """Same, over an already-parsed VARIANT root — callers that also need
         the parse result for error detection parse ONCE and share it (JSON
-        parsing is the dominant per-row cost; see operators/mapping_op.py)."""
-        env: dict[str, Any] = {"root": root}
+        parsing is the dominant per-row cost; see operators/mapping_op.py).
+        ``clock`` is the injected processing-time instant $CurrentTime
+        renders (ISO-8601 string); None = Spark's query-constant now."""
+        env: dict[str, Any] = {"root": root, "__clock__": clock}
         for name, vexpr in self.config.vars:  # top-level var bindings
             env[name] = _compile_expr(self.config, vexpr, env)
         targets: dict[str, list[Column]] = {}
@@ -100,7 +102,7 @@ class CompiledMapping:
         return F.to_json(F.named_struct(*fields))
 
     # ---------------------------------------------------------- python backend
-    def transform(self, data: str) -> str:
+    def transform(self, data: str, clock: str | None = None) -> str:
         """Per-record JSON->JSON (the ``engine.transform`` analogue).
 
         Raises :class:`RecoverableMappingError` on malformed input JSON — a
@@ -114,7 +116,7 @@ class CompiledMapping:
             obj = json_canon.loads(data)
         except ValueError as e:
             raise RecoverableMappingError(f"invalid input JSON: {data}") from e
-        return json_canon.dumps(self._py(obj))
+        return json_canon.dumps(self._py(obj, clock))
 
 
 # ------------------------------------------------------------------ internals
@@ -194,6 +196,19 @@ def _time_fmt(node, what: str, need_full_date: bool = False) -> str:
             f"{what}: input pattern {s!r} must include yyyy, MM and dd"
         )
     return s
+
+
+def _clock_dt(clock: str):
+    """Injected-clock ISO-8601 string -> naive-UTC datetime (the session
+    timezone is UTC, so a naive literal timestamp renders identically via
+    Spark's date_format and Python's strftime)."""
+    from datetime import datetime, timezone
+
+    s = clock[:-1] + "+00:00" if clock.endswith("Z") else clock
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _cond_col(cond) -> Column:
@@ -305,6 +320,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     p: (e if j == it else fixed[j])
                     for j, p in enumerate(proj.params)
                 }
+                penv["__clock__"] = env.get("__clock__")
                 for vn, vx in proj.vars:
                     penv[vn] = _compile_expr(cfg, vx, penv)
                 return _render(_compile_tree(cfg, tree, penv))
@@ -312,6 +328,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return _ArrCol(F.transform(arr, body), "struct")
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         penv = dict(zip(proj.params, args))
+        penv["__clock__"] = env.get("__clock__")
         for vn, vx in proj.vars:  # projector-local var bindings, in order
             penv[vn] = _compile_expr(cfg, vx, penv)
         return _compile_tree(cfg, nest_fields(proj.fields), penv)
@@ -458,6 +475,13 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # concat is null-intolerant: any missing/non-array argument
             # yields NULL, matching the pandas backend's any-non-list rule
             return _ArrCol(F.concat(*cols), "variant")
+        if expr.name == "$CurrentTime":
+            out_fmt = _time_fmt(expr.args[0], "$CurrentTime format")
+            clock = env.get("__clock__")
+            # injected clock -> a literal timestamp (deterministic, oracle-
+            # checkable); no clock -> Spark's query-constant now()
+            ts = F.lit(_clock_dt(clock)) if clock else F.current_timestamp()
+            return _StrCol(F.date_format(ts, out_fmt))
         if expr.name == "$Not":
             # true iff the value is NOT JSON true: a false/missing/non-bool
             # condition negates to true (the else-branch desugar target);
@@ -671,7 +695,7 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 n = max(len(v) for v in arrs.values())
                 out_list = []
                 for j in range(n):
-                    penv = {}
+                    penv = {"__clock__": env.get("__clock__")}
                     for i, p in enumerate(proj.params):
                         if i in arrs:
                             penv[p] = arrs[i][j] if j < len(arrs[i]) else _MISSING
@@ -683,6 +707,7 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 return out_list
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
+            penv["__clock__"] = env.get("__clock__")
             for vn, vx in proj.vars:  # projector-local vars, in order
                 penv[vn] = eval_expr(vx, penv)
             return eval_tree(trees[expr.name], penv)
@@ -736,6 +761,18 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 )
             if expr.name == "$ListLen":
                 return len(vals[0]) if isinstance(vals[0], list) else _MISSING
+            if expr.name == "$CurrentTime":
+                tr = _time_translate(vals[0])
+                if tr is None:
+                    return _MISSING  # dynamic pattern outside the subset
+                clock = env.get("__clock__")
+                if clock:
+                    dt = _clock_dt(clock)
+                else:
+                    from datetime import datetime as _dtm, timezone as _tz
+
+                    dt = _dtm.now(_tz.utc).replace(tzinfo=None)
+                return dt.strftime(tr[0])
             if expr.name == "$Trim":
                 s = _scalar_str(vals[0])
                 # Spark's trim strips spaces (0x20) only — not all whitespace
@@ -842,12 +879,12 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     out[name] = v
         return out
 
-    def run(root_obj) -> dict:
+    def run(root_obj, clock: str | None = None) -> dict:
         # canonical form for data-derived values: sorted object keys,
         # applied ONCE at the root (matches the column backend's VARIANT
         # behavior, which sorts object keys in its binary form)
         root_obj = json_canon.canon_sort(root_obj)
-        env: dict[str, Any] = {"root": root_obj}
+        env: dict[str, Any] = {"root": root_obj, "__clock__": clock}
         for vn, vx in cfg.vars:  # top-level var bindings, in order
             env[vn] = eval_expr(vx, env)
         out: dict[str, list] = {}

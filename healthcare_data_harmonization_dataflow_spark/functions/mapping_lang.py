@@ -124,6 +124,12 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$SubStr": (3, 3),
     "$ReformatTime": (3, 3),
     "$ListCat": (2, None),
+    # processing-time stamp rendered with a literal pattern from the same
+    # subset; reads the engine's injected clock (apply_mapping(clock=...))
+    # for determinism — without an injected clock each backend uses its own
+    # query/batch "now", which is processing time and inherently non-
+    # reproducible
+    "$CurrentTime": (1, 1),
 }
 
 # Java-pattern tokens the $ReformatTime subset supports, with their strftime
@@ -242,6 +248,21 @@ class MappingConfig:
     def validate(self) -> "MappingConfig":
         if not self.outs:
             raise MappingConfigError("config defines no output (no 'out' or root_mapping)")
+        # double-underscore names are reserved for engine-internal bindings
+        # (the injected $CurrentTime clock travels in the evaluation env)
+        reserved = [
+            n
+            for n in (
+                [n for n, _ in self.vars]
+                + [p for pr in self.projectors.values() for p in pr.params]
+                + [n for pr in self.projectors.values() for n, _ in pr.vars]
+            )
+            if n.startswith("__")
+        ]
+        if reserved:
+            raise MappingConfigError(
+                f"names starting with '__' are reserved: {sorted(set(reserved))}"
+            )
         bound = ["root"]
         for name, vexpr in self.vars:
             self._check(vexpr, bound=tuple(bound))
@@ -327,6 +348,17 @@ class MappingConfig:
                             f"{sorted(_TIME_TOKENS)} each at most once; the "
                             "input pattern must include yyyy, MM and dd)"
                         )
+            if expr.name == "$CurrentTime":
+                a = expr.args[0]
+                if (
+                    isinstance(a, Lit)
+                    and isinstance(a.value, str)
+                    and _time_translate(a.value) is None
+                ):
+                    raise MappingConfigError(
+                        f"$CurrentTime literal pattern {a.value!r} is outside "
+                        f"the supported subset (tokens {sorted(_TIME_TOKENS)})"
+                    )
             for a in expr.args:
                 self._check(a, bound, _stack)
             return

@@ -110,7 +110,7 @@ def apply_mapping(
                 "ok",
                 F.when(
                     F.col("_parsed").isNotNull(),
-                    mapping.output_column_from_variant(F.col("_parsed")),
+                    mapping.output_column_from_variant(F.col("_parsed"), clock),
                 ),
             )
             .withColumn(
@@ -156,7 +156,7 @@ def apply_mapping(
                 # (runAndReportMetrics, MappingFn.java:203-209); a throwing
                 # element records no latency, like the reference
                 t0 = time.perf_counter_ns() if measure_latency else 0
-                out = eng.transform(data)
+                out = eng.transform(data, ts)
                 lats.append((time.perf_counter_ns() - t0) // 1000 if measure_latency else None)
                 oks.append(out)
                 errs.append(None)

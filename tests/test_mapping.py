@@ -815,3 +815,47 @@ def test_listcat_literal_arrays_fall_back(spark):
     assert ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"] == (
         '{"O":[{"c":["a","b",1]}]}'
     )
+
+
+CLOCK_CFG = """
+out Output: P(root);
+def P(i) {
+  v: i.x;
+  stamp: $CurrentTime("yyyy-MM-dd HH:mm:ss");
+  sub: Sub(i);
+}
+def Sub(j) { d: $CurrentTime("dd.MM.yyyy"); }
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_current_time_uses_injected_clock(spark, backend):
+    """$CurrentTime renders the engine's injected clock (deterministic —
+    the reference's processing-time builtin with testable time), and the
+    clock propagates into nested projector calls; byte-identical on both
+    backends."""
+    df = spark.createDataFrame([("a", '{"x":1}')], "id string, data string")
+    res = ok_rows(
+        apply_mapping(df, CLOCK_CFG, backend=backend, clock="2024-06-30T12:34:56.789Z")
+    )
+    assert res.collect()[0]["ok"] == (
+        '{"Output":[{"v":1,"stamp":"2024-06-30 12:34:56",'
+        '"sub":{"d":"30.06.2024"}}]}'
+    )
+    assert compile_mapping(CLOCK_CFG).supports_columns() is True
+
+
+def test_current_time_bad_pattern_fails_fast():
+    with pytest.raises(MappingConfigError):
+        compile_mapping('out O: P(root);\ndef P(i) { x: $CurrentTime("qq"); }')
+
+
+def test_reserved_dunder_names_rejected():
+    """Names starting with __ are reserved for engine-internal bindings
+    (the injected clock travels in the evaluation environment)."""
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out O: P(root);\ndef P(__x) { a: __x.b; }")
+    with pytest.raises(MappingConfigError):
+        compile_mapping(
+            "out O: P(root);\ndef P(i) { var __clock__: i.a; a: __clock__; }"
+        )

@@ -212,6 +212,7 @@ def P(input) {
   ss: $SubStr(kind, 0, 2);
   when: $ReformatTime(input.day, "yyyy-MM-dd", "dd.MM.yyyy");
   cat2: $ListCat(input.items, input.items);
+  now: $CurrentTime("yyyy-MM-dd'T'HH:mm:ss");
 }
 def It(e) {
   u: $ToUpper(e.s);
