@@ -859,3 +859,19 @@ def test_reserved_dunder_names_rejected():
         compile_mapping(
             "out O: P(root);\ndef P(i) { var __clock__: i.a; a: __clock__; }"
         )
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_current_time_without_clock_is_processing_time(spark, backend):
+    """Without an injected clock, $CurrentTime renders each backend's own
+    processing-time now (query-constant in the column backend, batch
+    timestamp in pandas) — shape-checked only, since real processing time
+    is inherently non-reproducible."""
+    import re as _re
+
+    cfg = 'out O: P(root);\ndef P(i) { t: $CurrentTime("yyyy-MM-dd HH:mm:ss"); }'
+    df = spark.createDataFrame([("a", "{}")], "id string, data string")
+    ok = ok_rows(apply_mapping(df, cfg, backend=backend)).collect()[0]["ok"]
+    m = _re.fullmatch(r'\{"O":\[\{"t":"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})"\}\]\}', ok)
+    assert m, ok
+    assert m.group(1).startswith("20")  # a current-era timestamp, not 1970
