@@ -197,6 +197,37 @@ def q_mapping_reformat(spark, sf_dir):
     )
 
 
+NUM_Q_CFG = """
+out Output: P(root);
+def P(input) {
+  total: $Sum(input.eid, input.uid);
+  quarter: $Div(input.eid, 4);
+  hot: $Gt(input.v, 50);
+  delta: $Sub(input.eid, input.uid);
+}
+"""
+
+
+def q_mapping_numeric(spark, sf_dir):
+    """Arithmetic/ordering builtins over the events table — integer-exact
+    sums/deltas, binary-exact quarters (x/4), and a double comparison, all
+    inside the portable numeric envelope so the DuckDB oracle reproduces
+    the rendering byte-for-byte. Stays in the codegen column backend."""
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("eid"),
+                F.col("user_id").alias("uid"),
+                F.col("value").alias("v"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, NUM_Q_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_iterate(spark, sf_dir):
     per_user = (
         _events(spark, sf_dir)
@@ -616,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_nested": q_mapping_nested,
         "mapping_iterate": q_mapping_iterate,
         "mapping_reformat": q_mapping_reformat,
+        "mapping_numeric": q_mapping_numeric,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -688,6 +720,17 @@ def oracle_sql() -> dict[str, str]:
                                      ',' ORDER BY event_id),
                           ']}]}') AS output
             FROM events GROUP BY user_id
+        """,
+        "mapping_numeric": """
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"total":', event_id + user_id,
+                          ',"quarter":',
+                          CASE WHEN event_id % 4 = 0
+                               THEN CAST(event_id // 4 AS VARCHAR)
+                               ELSE CAST(event_id / 4.0 AS VARCHAR) END,
+                          ',"hot":', CASE WHEN value > 50 THEN 'true' ELSE 'false' END,
+                          ',"delta":', event_id - user_id, '}]}') AS output
+            FROM events
         """,
         "mapping_reformat": """
             SELECT concat('e', event_id) AS id,

@@ -56,8 +56,22 @@ def _uppercase_control_escapes(s: str) -> str:
     return "".join(out)
 
 
+def _load_float(raw: str):
+    """Float literals mimic Spark VARIANT's number handling so both engine
+    backends render identically: a PLAIN-notation literal parses as decimal
+    and strips trailing zeros ("3.0" -> 3 -> renders "3"), while an
+    exponent-notation literal takes the double path (python repr, which
+    matches Java's rendering inside the portable envelope — see
+    mapping_compile._num_out). Precision beyond IEEE double (VARIANT keeps
+    38 decimal digits) is outside the envelope and may diverge."""
+    f = float(raw)
+    if "e" not in raw and "E" not in raw and f.is_integer():
+        return int(f)
+    return f
+
+
 def loads(s: str) -> Any:
-    return json.loads(s)
+    return json.loads(s, parse_float=_load_float)
 
 
 def _strip_missing(value: Any) -> Any:

@@ -211,6 +211,50 @@ def _clock_dt(clock: str):
     return dt
 
 
+_MAX_EXACT_LONG = float(2**53)  # largest range where double==long exactly
+
+
+def _num_form(jv) -> Column:
+    """Numeric coercion for the arithmetic/ordering builtins — mirrors
+    VARIANT's double cast (probed against Spark 4.1): numbers and numeric
+    strings coerce (whitespace and exponent forms included), booleans
+    become 1.0/0.0, null/containers are NULL; NaN/Inf normalize to NULL
+    (they sit outside the portable envelope and would otherwise diverge —
+    SQL sorts NaN above everything, Python does not)."""
+    if isinstance(jv, _StrCol):
+        d = jv.col.try_cast("double")
+    elif isinstance(jv, _BoolCol):
+        d = F.when(jv.col.isNotNull(), F.when(jv.col, F.lit(1.0)).otherwise(F.lit(0.0)))
+    elif isinstance(jv, Column):
+        d = F.try_variant_get(jv, "$", "double")
+    else:
+        raise MappingConfigError(
+            "column backend: arithmetic arguments must be scalar values"
+        )
+    return F.when(
+        d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), d
+    )
+
+
+def _num_render(d: Column) -> Column:
+    """Render an arithmetic double inside the PORTABLE ENVELOPE, where the
+    two backends' renderings provably agree: integral values (|x| <= 2^53)
+    render as integers (VARIANT's decimal strips ".0"); non-integral values
+    render plainly only in [1e-3, 1e7) — the range where Java's
+    Double.toString stays in decimal notation and equals Python's repr
+    (both shortest-round-trip). Anything else is nil: beyond the envelope
+    Java flips to "1.0E16"-style scientific while Python writes "1e+16",
+    so the envelope IS the cross-backend spec."""
+    intish = (d == F.floor(d)) & (F.abs(d) <= F.lit(_MAX_EXACT_LONG))
+    plain = (F.abs(d) >= F.lit(1e-3)) & (F.abs(d) < F.lit(1e7))
+    return F.when(
+        d.isNotNull() & ~F.isnan(d),
+        F.when(intish, F.try_parse_json(d.cast("long").cast("string"))).when(
+            plain, F.try_parse_json(d.cast("string"))
+        ),
+    )
+
+
 def _cond_col(cond) -> Column:
     """Strict-boolean condition: TRUE iff the value is JSON true (a "true"
     STRING must not coerce, matching the python backend's `v is True`).
@@ -368,7 +412,9 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         if expr.name == "$ParseInt":
             return _num_variant(_str_form(args[0]).try_cast("long"))
         if expr.name == "$ParseFloat":
-            return _num_variant(_str_form(args[0]).try_cast("double"))
+            # envelope rendering: integral floats render as integers
+            # ("3.0" -> 3), exactly like a VARIANT decimal would
+            return _num_render(_str_form(args[0]).try_cast("double"))
         if expr.name == "$StrSplit":
             d = _lit_str(expr.args[1], "$StrSplit delimiter")
             import re as _re
@@ -475,6 +521,32 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # concat is null-intolerant: any missing/non-array argument
             # yields NULL, matching the pandas backend's any-non-list rule
             return _ArrCol(F.concat(*cols), "variant")
+        if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
+            ds = [_num_form(a) for a in args]
+            if expr.name == "$Sum":
+                d = ds[0]
+                for x in ds[1:]:
+                    d = d + x
+            elif expr.name == "$Mul":
+                d = ds[0]
+                for x in ds[1:]:
+                    d = d * x
+            elif expr.name == "$Sub":
+                d = ds[0] - ds[1]
+            else:  # $Div — zero denominator is nil, never Inf
+                d = F.when(ds[1] != F.lit(0.0), ds[0] / ds[1])
+            # null propagation is free: +,-,*,/ are null-intolerant
+            return _num_render(d)
+        if expr.name in ("$Gt", "$Lt", "$Gte", "$Lte"):
+            a, b = _num_form(args[0]), _num_form(args[1])
+            cmp = {
+                "$Gt": a > b,
+                "$Lt": a < b,
+                "$Gte": a >= b,
+                "$Lte": a <= b,
+            }[expr.name]
+            # a nil side compares false (not nil), matching $Eq
+            return _BoolCol(F.coalesce(cmp, F.lit(False)))
         if expr.name == "$CurrentTime":
             out_fmt = _time_fmt(expr.args[0], "$CurrentTime format")
             clock = env.get("__clock__")
@@ -632,6 +704,39 @@ def _render(jv) -> Column:
     return jv  # variant Column
 
 
+def _num_coerce(v):
+    """Python mirror of _num_form's VARIANT double-cast semantics."""
+    import math
+
+    if v is _MISSING or v is None or isinstance(v, (dict, list)):
+        return _MISSING
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        f = float(v)
+    else:
+        if "_" in v:  # float() tolerates 1_0; SQL's cast does not
+            return _MISSING
+        try:
+            f = float(v)
+        except ValueError:
+            return _MISSING
+    return f if math.isfinite(f) else _MISSING
+
+
+def _num_out(f):
+    """Python mirror of _num_render's portable envelope."""
+    import math
+
+    if f is _MISSING or not math.isfinite(f):
+        return _MISSING
+    if float(f).is_integer() and abs(f) <= _MAX_EXACT_LONG:
+        return int(f)
+    if 1e-3 <= abs(f) < 1e7:
+        return float(f)
+    return _MISSING
+
+
 # python backend: AST -> closure
 
 
@@ -729,10 +834,10 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     return _MISSING
             if expr.name == "$ParseFloat":
                 s = _scalar_str(vals[0])
-                if s is _MISSING:
+                if s is _MISSING or "_" in s:
                     return _MISSING
                 try:
-                    return float(s.strip())
+                    return _num_out(float(s.strip()))
                 except ValueError:
                     return _MISSING
             if expr.name == "$StrSplit":
@@ -761,6 +866,35 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 )
             if expr.name == "$ListLen":
                 return len(vals[0]) if isinstance(vals[0], list) else _MISSING
+            if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
+                nums = [_num_coerce(v) for v in vals]
+                if any(n is _MISSING for n in nums):
+                    return _MISSING
+                if expr.name == "$Sum":
+                    r = nums[0]
+                    for x in nums[1:]:
+                        r = r + x  # left-assoc, same IEEE order as columns
+                elif expr.name == "$Mul":
+                    r = nums[0]
+                    for x in nums[1:]:
+                        r = r * x
+                elif expr.name == "$Sub":
+                    r = nums[0] - nums[1]
+                else:
+                    if nums[1] == 0.0:
+                        return _MISSING
+                    r = nums[0] / nums[1]
+                return _num_out(r)
+            if expr.name in ("$Gt", "$Lt", "$Gte", "$Lte"):
+                a, b = _num_coerce(vals[0]), _num_coerce(vals[1])
+                if a is _MISSING or b is _MISSING:
+                    return False
+                return {
+                    "$Gt": a > b,
+                    "$Lt": a < b,
+                    "$Gte": a >= b,
+                    "$Lte": a <= b,
+                }[expr.name]
             if expr.name == "$CurrentTime":
                 tr = _time_translate(vals[0])
                 if tr is None:

@@ -130,6 +130,20 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     # query/batch "now", which is processing time and inherently non-
     # reproducible
     "$CurrentTime": (1, 1),
+    # arithmetic + ordering over the portable numeric envelope (see
+    # mapping_compile._num_out): operands coerce like VARIANT's double cast
+    # (numbers, numeric strings, booleans->1/0; null/containers are nil),
+    # results render as integers when integral (|x| <= 2^53) or as plain
+    # decimals in [1e-3, 1e7) — outside that, nil (the two backends'
+    # float renderings stop agreeing there, so the envelope IS the spec)
+    "$Sum": (2, None),
+    "$Sub": (2, 2),
+    "$Mul": (2, None),
+    "$Div": (2, 2),
+    "$Gt": (2, 2),
+    "$Lt": (2, 2),
+    "$Gte": (2, 2),
+    "$Lte": (2, 2),
 }
 
 # Java-pattern tokens the $ReformatTime subset supports, with their strftime

@@ -875,3 +875,78 @@ def test_current_time_without_clock_is_processing_time(spark, backend):
     m = _re.fullmatch(r'\{"O":\[\{"t":"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})"\}\]\}', ok)
     assert m, ok
     assert m.group(1).startswith("20")  # a current-era timestamp, not 1970
+
+
+NUM_CFG = """
+out Output: P(root);
+def P(i) {
+  sum: $Sum(i.a, i.b, 2);
+  sub: $Sub(i.a, i.b);
+  mul: $Mul(i.a, i.b);
+  div: $Div(i.a, i.b);
+  div0: $Div(i.a, 0);
+  coerce: $Sum(i.s, i.flag);
+  gt: $Gt(i.a, i.b);
+  lte: $Lte(i.a, i.b);
+  gmiss: $Gt(i.nope, i.a);
+  pf: $ParseFloat(i.fs);
+  pass: i.f;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_numeric_builtins_golden(spark, backend):
+    """Arithmetic/ordering over the portable numeric envelope: operands
+    coerce like VARIANT's double cast (numeric strings and booleans
+    included), integral results render as integers, zero division and
+    out-of-envelope magnitudes are nil, a nil comparison side is false —
+    byte-identical on both backends. Also pins the $ParseFloat and float
+    PASSTHROUGH parity fix: "3.0" renders as 3 on BOTH backends (it was
+    "3" vs "3.0" before the json-load normalization)."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"a":7,"b":2,"s":"1e2","flag":true,"fs":"3.0","f":3.0}'),
+            ("b", '{"a":2.5,"b":4,"s":" 7 ","flag":false,"fs":"2.5","f":4.5}'),
+            ("c", '{"a":1,"b":"x","s":"abc","fs":"nope","f":1e16}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, NUM_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"sum":11,"sub":5,"mul":14,"div":3.5,'
+        '"coerce":101,"gt":true,"lte":false,"gmiss":false,"pf":3,"pass":3}]}'
+    )
+    assert oks["b"] == (
+        '{"Output":[{"sum":8.5,"sub":-1.5,"mul":10,"div":0.625,'
+        '"coerce":7,"gt":false,"lte":true,"gmiss":false,"pf":2.5,"pass":4.5}]}'
+    )
+    # b="x" is not numeric -> arithmetic nil, comparisons false; huge
+    # passthrough float is outside the envelope in BOTH backends? No —
+    # passthrough is data fidelity, not arithmetic: 1e16 renders per-backend
+    # source form, so we only assert the arithmetic fields here.
+    for key in ('"sum"', '"sub"', '"mul"', '"div"'):
+        assert key not in oks["c"]
+    assert '"gt":false' in oks["c"] and '"gmiss":false' in oks["c"]
+    assert '"pf"' not in oks["c"]
+    assert compile_mapping(NUM_CFG).supports_columns() is True
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_numeric_envelope_bounds(spark, backend):
+    """Envelope edges: integral beyond 2^53 is nil, non-integral outside
+    [1e-3, 1e7) is nil, -0.0 renders as 0 — identically on both backends."""
+    cfg = (
+        "out O: P(root);\n"
+        "def P(i) { big: $Mul(i.x, i.x); tiny: $Div(1, i.big_denom);"
+        " negz: $Mul(i.neg, 0); half: $Div(i.x, 2); }"
+    )
+    df = spark.createDataFrame(
+        [("a", '{"x":100000001,"big_denom":100000,"neg":-5}')],
+        "id string, data string",
+    )
+    ok = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK)).collect()[0]["ok"]
+    # x*x ~ 1e16 integral but > 2^53 -> nil; 1/1e5 = 1e-05 < 1e-3 -> nil;
+    # -5*0 = -0.0 -> 0; x/2 non-integral 5e7 >= 1e7 -> nil
+    assert ok == '{"O":[{"negz":0}]}'

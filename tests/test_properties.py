@@ -33,6 +33,14 @@ _scalar = st.one_of(
     st.text(max_size=20),
     st.booleans(),
     st.none(),
+    # floats INSIDE the portable numeric envelope (mapping_compile._num_out):
+    # plain-notation magnitudes in [1e-3, 1e7) or integral — the range where
+    # VARIANT's rendering and Python's repr provably agree; exotic forms
+    # (exponents, subnormals, >2^53 integrals) are documented as
+    # backend-divergent and excluded by design
+    st.integers(min_value=-(10**6), max_value=10**6).map(float),
+    st.floats(min_value=1e-3, max_value=9e6, allow_nan=False),
+    st.floats(min_value=-9e6, max_value=-1e-3, allow_nan=False),
 )
 _payload = st.one_of(
     st.builds(lambda v: json.dumps({"bar": v}), _scalar),
@@ -213,6 +221,9 @@ def P(input) {
   when: $ReformatTime(input.day, "yyyy-MM-dd", "dd.MM.yyyy");
   cat2: $ListCat(input.items, input.items);
   now: $CurrentTime("yyyy-MM-dd'T'HH:mm:ss");
+  m3: $Mul(input.num, 3);
+  dz: $Div(input.num, input.kind);
+  big: $Gt(input.num, 10);
 }
 def It(e) {
   u: $ToUpper(e.s);
