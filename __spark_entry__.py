@@ -149,6 +149,7 @@ def P(input) {
     tier: "std";
   }
   evs: Ev(input.events[]);
+  kinds: input.events[*].t;
 }
 def Ev(e) {
   t: $ToUpper(e.t);
@@ -718,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
                           string_agg(concat('{"t":"', upper(event_type),
                                             '","k":', json_extract_string(props, '$.k'), '}'),
                                      ',' ORDER BY event_id),
+                          '],"kinds":[',
+                          string_agg(concat('"', event_type, '"'), ',' ORDER BY event_id),
                           ']}]}') AS output
             FROM events GROUP BY user_id
         """,

@@ -255,6 +255,35 @@ def _num_render(d: Column) -> Column:
     )
 
 
+def _vpath(parts) -> str:
+    return "$" + "".join(
+        f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
+    )
+
+
+def _wild_nav(base: Column, parts: list):
+    """Wildcard-aware variant navigation: returns (Column, is_array).
+    ``a[*].b`` maps over the array at ``a`` extracting ``b`` per element
+    (missing elements SKIPPED, JSON-null values kept — variant-null is not
+    SQL NULL); ``a[*]`` alone is the array itself; wildcards nest without
+    flattening. A missing/non-array source yields NULL (-> field omitted),
+    matching the python backend's _MISSING. Everything stays inside
+    whole-stage codegen (try_variant_get + transform + filter)."""
+    if "*" not in parts:
+        if not parts:
+            return base, False
+        return F.try_variant_get(base, _vpath(parts), "variant"), False
+    i = parts.index("*")
+    prefix, rest = list(parts[:i]), list(parts[i + 1 :])
+    arr = F.try_variant_get(base, _vpath(prefix), "array<variant>")
+    if not rest:
+        return arr, True
+    mapped = F.transform(arr, lambda x: _wild_nav(x, rest)[0])
+    # per-element missing (SQL NULL) is skipped; JSON nulls survive as
+    # variant nulls, so the filter matches the python backend's skip rule
+    return F.filter(mapped, lambda x: x.isNotNull()), True
+
+
 def _cond_col(cond) -> Column:
     """Strict-boolean condition: TRUE iff the value is JSON true (a "true"
     STRING must not coerce, matching the python backend's `v is True`).
@@ -313,6 +342,14 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             if base.elem != "variant":
                 return _StrCol(elem_col) if not parts else _null_variant()
             base = elem_col
+        if isinstance(base, _ArrCol) and parts == ["*"]:
+            return base  # wildcard identity over an append-target array
+        if isinstance(base, _ArrCol) and "*" in parts:
+            # wildcard navigation INTO projector-built arrays needs per-
+            # element dynamic structure: pandas backend territory
+            raise MappingConfigError(
+                "column backend: cannot wildcard into projector results"
+            )
         if isinstance(base, (_StrCol, _BoolCol, _ArrCol)):
             return base if not parts else _null_variant()
         if isinstance(base, _StructVal):
@@ -328,10 +365,8 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             raise MappingConfigError(
                 "column backend: cannot navigate a path into this value"
             )
-        path = "$" + "".join(
-            f"[{p}]" if isinstance(p, int) else f".{p}" for p in parts
-        )
-        return F.try_variant_get(base, path, "variant")
+        col, is_arr = _wild_nav(base, parts)
+        return _ArrCol(col, "variant") if is_arr else col
     if isinstance(expr, Call):
         proj = cfg.projectors[expr.name]
         iters = [i for i, a in enumerate(expr.args) if isinstance(a, Iterate)]
@@ -763,22 +798,36 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         if isinstance(expr, Lit):
             return expr.value
         if isinstance(expr, Path):
-            v = env[expr.var]
-            for p in expr.parts:
-                if isinstance(p, int):
-                    if isinstance(v, list) and 0 <= p < len(v):
+            def nav(v, parts):
+                for i, p in enumerate(parts):
+                    if p == "*":  # wildcard: map the rest over the array
+                        if not isinstance(v, list):
+                            return _MISSING
+                        rest = parts[i + 1 :]
+                        if not rest:
+                            return list(v)
+                        out = []
+                        for el in v:
+                            r = nav(el, rest)
+                            if r is not _MISSING:  # missing skipped; None kept
+                                out.append(r)
+                        return out
+                    if isinstance(p, int):
+                        if isinstance(v, list) and 0 <= p < len(v):
+                            v = v[p]
+                        else:
+                            return _MISSING
+                    elif isinstance(v, dict) and p in v:
                         v = v[p]
                     else:
                         return _MISSING
-                elif isinstance(v, dict) and p in v:
-                    v = v[p]
-                else:
-                    return _MISSING
+                return v
+
             # data-derived values are already canonical (the run() entry
             # canon-sorts the root once); a PROJECTOR RESULT navigated here
             # must keep its insertion order — sorting it would diverge from
             # the column backend's named_struct rendering
-            return v
+            return nav(env[expr.var], expr.parts)
         if isinstance(expr, Call):
             proj = cfg.projectors[expr.name]
             iters = {i for i, a in enumerate(expr.args) if isinstance(a, Iterate)}

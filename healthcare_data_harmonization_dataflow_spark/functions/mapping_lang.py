@@ -390,7 +390,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<ident>[$]?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[{}();:,.\[\]])
+  | (?P<punct>[{}();:,.\[\]*])
     """,
     re.VERBOSE,
 )
@@ -612,6 +612,11 @@ class _Parser:
                     if self.peek()[1] == "]":  # `path[]` — iteration marker
                         self.next()
                         return Iterate(Path(v, tuple(parts)))
+                    if self.peek()[1] == "*":  # `path[*]` — wildcard segment
+                        self.next()
+                        self.expect(value="]")
+                        parts.append("*")
+                        continue
                     num = self.expect("number")  # [n] — array element access
                     if "." in num or num.startswith("-"):
                         raise MappingConfigError(

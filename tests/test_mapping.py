@@ -950,3 +950,57 @@ def test_numeric_envelope_bounds(spark, backend):
     # x*x ~ 1e16 integral but > 2^53 -> nil; 1/1e5 = 1e-05 < 1e-3 -> nil;
     # -5*0 = -0.0 -> 0; x/2 non-integral 5e7 >= 1e7 -> nil
     assert ok == '{"O":[{"negz":0}]}'
+
+
+WILD_CFG = """
+out Output: P(root);
+def P(i) {
+  names: i.items[*].name;
+  all: i.items[*];
+  deep: i.m[*].xs[*].v;
+  n: $ListLen(i.items[*].name);
+  miss: i.nope[*].name;
+  scalar: i.items[0].name;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_wildcard_paths_golden(spark, backend):
+    """`a[*].b` wildcard navigation: per-element extraction with missing
+    elements skipped and JSON-null values kept, identity `a[*]`, nested
+    wildcards without flattening, missing/non-array sources nil — all
+    byte-identical on both backends and still projective (codegen)."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"items":[{"name":"a"},{"x":1},{"name":null},{"name":"b"}],'
+                  '"m":[{"xs":[{"v":1},{"v":2}]},{"xs":[{"w":0}]},{"nope":1}]}'),
+            ("b", '{"items":"not-an-array"}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, WILD_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"Output":[{"names":["a",null,"b"],'
+        '"all":[{"name":"a"},{"x":1},{"name":null},{"name":"b"}],'
+        '"deep":[[1,2],[]],'
+        '"n":3,"scalar":"a"}]}'
+    )
+    assert oks["b"] == '{"Output":[{}]}'
+    assert compile_mapping(WILD_CFG).supports_columns() is True
+
+
+def test_wildcard_into_projector_results_falls_back(spark):
+    """Wildcarding INTO a projector-built array needs dynamic per-element
+    structure — outside the projective subset; auto falls back to pandas
+    and still evaluates."""
+    cfg = (
+        "out O: Outer(Inner(root));\n"
+        "def Inner(i) { xs[]: i.a; xs[]: i.b; }\n"
+        "def Outer(x) { keep: x.xs[*]; }"
+    )
+    m = compile_mapping(cfg)
+    df = spark.createDataFrame([("r", '{"a":1,"b":2}')], "id string, data string")
+    out = ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"]
+    assert out == '{"O":[{"keep":[1,2]}]}'

@@ -224,6 +224,8 @@ def P(input) {
   m3: $Mul(input.num, 3);
   dz: $Div(input.num, input.kind);
   big: $Gt(input.num, 10);
+  wnames: input.items[*].s;
+  wall: input.items[*];
 }
 def It(e) {
   u: $ToUpper(e.s);
