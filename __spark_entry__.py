@@ -229,6 +229,41 @@ def q_mapping_numeric(spark, sf_dir):
     )
 
 
+LOGIC_Q_CFG = """
+out Output: P(root);
+def P(i) {
+  hot: $And($Eq(i.t, "error"), $Gt(i.k, 50));
+  warm: $Or($Eq(i.t, "error"), $Eq(i.t, "signup"));
+  other: $NEq(i.t, "view");
+  flat: $Flatten(i.pair);
+  uniq: $Unique($Flatten(i.pair));
+}
+"""
+
+
+def q_mapping_logic(spark, sf_dir):
+    """Strict-boolean logic ($And/$Or/$NEq) and the array library
+    ($Flatten/$Unique, first-occurrence canonical-JSON dedup) over the
+    events table. Everything compiles to the codegen column backend —
+    higher-order array functions, no Python."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                k.alias("k"),
+                F.array(
+                    F.array(k, k + 1), F.array(k + 1, k + 2)
+                ).alias("pair"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, LOGIC_Q_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_iterate(spark, sf_dir):
     per_user = (
         _events(spark, sf_dir)
@@ -649,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_iterate": q_mapping_iterate,
         "mapping_reformat": q_mapping_reformat,
         "mapping_numeric": q_mapping_numeric,
+        "mapping_logic": q_mapping_logic,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -734,6 +770,27 @@ def oracle_sql() -> dict[str, str]:
                           ',"hot":', CASE WHEN value > 50 THEN 'true' ELSE 'false' END,
                           ',"delta":', event_id - user_id, '}]}') AS output
             FROM events
+        """,
+        "mapping_logic": """
+            WITH ev AS (
+                SELECT event_id, event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"hot":',
+                          CASE WHEN event_type = 'error' AND k > 50
+                               THEN 'true' ELSE 'false' END,
+                          ',"warm":',
+                          CASE WHEN event_type IN ('error', 'signup')
+                               THEN 'true' ELSE 'false' END,
+                          ',"other":',
+                          CASE WHEN event_type <> 'view'
+                               THEN 'true' ELSE 'false' END,
+                          ',"flat":[', k, ',', k + 1, ',', k + 1, ',', k + 2,
+                          '],"uniq":[', k, ',', k + 1, ',', k + 2,
+                          ']}]}') AS output
+            FROM ev
         """,
         "mapping_reformat": """
             SELECT concat('e', event_id) AS id,

@@ -442,6 +442,27 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return _BoolCol(
                 F.coalesce(F.to_json(args[0]) == F.to_json(args[1]), F.lit(False))
             )
+        if expr.name == "$NEq":
+            # exactly `not $Eq`: a missing side is NOT equal, hence true
+            # (to_json(NULL) -> NULL comparison -> coalesce to True)
+            for a in args:
+                if not isinstance(a, Column):
+                    raise MappingConfigError(
+                        "column backend: $NEq arguments must be data values"
+                    )
+            return _BoolCol(
+                F.coalesce(F.to_json(args[0]) != F.to_json(args[1]), F.lit(True))
+            )
+        if expr.name in ("$And", "$Or"):
+            # strict-boolean n-ary fold; NULL operands (missing/non-bool)
+            # are "not true": NULL&false=false, NULL|true=true, and the
+            # remaining NULL outcomes coalesce to false — identical to the
+            # pandas backend's all/any(v is True)
+            cols = [_cond_col(a) for a in args]
+            acc = cols[0]
+            for c in cols[1:]:
+                acc = (acc & c) if expr.name == "$And" else (acc | c)
+            return _BoolCol(F.coalesce(acc, F.lit(False)))
         if expr.name == "$ToString":
             return _StrCol(_str_form(args[0]))
         if expr.name == "$ParseInt":
@@ -556,6 +577,47 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # concat is null-intolerant: any missing/non-array argument
             # yields NULL, matching the pandas backend's any-non-list rule
             return _ArrCol(F.concat(*cols), "variant")
+        if expr.name in ("$Flatten", "$Unique"):
+            v = args[0]
+            if isinstance(v, _ArrCol) and v.elem == "variant":
+                arr = v.col
+            elif isinstance(v, Column):
+                arr = F.try_variant_get(v, "$", "array<variant>")
+            else:
+                # literal/str-typed arrays: pandas backend territory
+                raise MappingConfigError(
+                    f"column backend: {expr.name} needs a data-derived array"
+                )
+            if expr.name == "$Flatten":
+                # one-level splice: array elements expand, everything else
+                # (incl. variant nulls) passes through in place; a missing/
+                # non-array input leaves arr NULL -> field omitted
+                out = F.flatten(
+                    F.transform(
+                        arr,
+                        lambda x: F.coalesce(
+                            F.try_variant_get(x, "$", "array<variant>"),
+                            F.array(x),
+                        ),
+                    )
+                )
+            else:
+                # first-occurrence dedup by canonical rendering (the $Eq
+                # equality; array_distinct has no VARIANT ordering). The
+                # accumulator re-renders O(n^2) per record — fine for
+                # per-record JSON arrays, and it never leaves the row
+                out = F.aggregate(
+                    arr,
+                    F.expr("cast(array() as array<variant>)"),
+                    lambda acc, x: F.when(
+                        F.array_contains(
+                            F.transform(acc, lambda y: F.to_json(y)),
+                            F.to_json(x),
+                        ),
+                        acc,
+                    ).otherwise(F.array_append(acc, x)),
+                )
+            return _ArrCol(out, "variant")
         if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
             ds = [_num_form(a) for a in args]
             if expr.name == "$Sum":
@@ -1013,6 +1075,40 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 return json_canon.dumps(json_canon.canon_sort(a)) == json_canon.dumps(
                     json_canon.canon_sort(b)
                 )
+            if expr.name == "$NEq":
+                a, b = vals
+                if a is _MISSING or b is _MISSING:
+                    return True  # exactly `not $Eq`
+                return json_canon.dumps(json_canon.canon_sort(a)) != json_canon.dumps(
+                    json_canon.canon_sort(b)
+                )
+            if expr.name == "$And":
+                return all(v is True for v in vals)
+            if expr.name == "$Or":
+                return any(v is True for v in vals)
+            if expr.name == "$Flatten":
+                v = vals[0]
+                if not isinstance(v, list):
+                    return _MISSING
+                out_l = []
+                for el in v:
+                    if isinstance(el, list):
+                        out_l.extend(el)
+                    else:
+                        out_l.append(el)
+                return out_l
+            if expr.name == "$Unique":
+                v = vals[0]
+                if not isinstance(v, list):
+                    return _MISSING
+                seen_r: set = set()
+                out_l = []
+                for el in v:
+                    k = json_canon.dumps(json_canon.canon_sort(el))
+                    if k not in seen_r:
+                        seen_r.add(k)
+                        out_l.append(el)
+                return out_l
             if expr.name == "$If":
                 cond = vals[0]
                 if cond is True:

@@ -28,10 +28,10 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   or non-array source yields missing), array construction (``[a, b, c]``
   — a missing element renders as JSON null, preserving positions), builtin
   calls (``$ToUpper/$ToLower/$StrCat/$Hash/$Trim/$SubStr/$ReformatTime/
-  $ListCat`` + the coercion/parsing/regex library — see ``BUILTINS``),
-  conditionals
-  (``$Eq``/``$If``/``$Not``, strict-boolean, canonical-JSON equality),
-  ``root`` = whole input
+  $ListCat/$Flatten/$Unique`` + the coercion/parsing/regex library — see
+  ``BUILTINS``), conditionals and boolean logic
+  (``$Eq``/``$NEq``/``$If``/``$Not``/``$And``/``$Or``, strict-boolean,
+  canonical-JSON equality), ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -103,6 +103,12 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$Eq": (2, 2),
     "$If": (2, 3),
     "$Not": (1, 1),
+    # n-ary strict-boolean logic: $And is true iff EVERY argument is JSON
+    # true, $Or iff ANY is (a missing/non-boolean operand is simply not
+    # true); $NEq is exactly `not $Eq` (a missing side is NOT equal)
+    "$And": (2, None),
+    "$Or": (2, None),
+    "$NEq": (2, 2),
     # round-3 library growth (the builtins real harmonization configs lean
     # on): scalar coercion/parsing, string splitting/joining, regex
     # full-match, nil test, array length
@@ -124,6 +130,11 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$SubStr": (3, 3),
     "$ReformatTime": (3, 3),
     "$ListCat": (2, None),
+    # array library: one-level flatten (array elements spliced, everything
+    # else — incl. JSON nulls — kept in place) and first-occurrence dedup
+    # by canonical-JSON rendering (the $Eq equality)
+    "$Flatten": (1, 1),
+    "$Unique": (1, 1),
     # processing-time stamp rendered with a literal pattern from the same
     # subset; reads the engine's injected clock (apply_mapping(clock=...))
     # for determinism — without an injected clock each backend uses its own

@@ -1004,3 +1004,83 @@ def test_wildcard_into_projector_results_falls_back(spark):
     df = spark.createDataFrame([("r", '{"a":1,"b":2}')], "id string, data string")
     out = ok_rows(apply_mapping(df, cfg)).collect()[0]["ok"]
     assert out == '{"O":[{"keep":[1,2]}]}'
+
+
+LOGIC_CFG = """
+out O: P(root);
+def P(i) {
+  both: $And(i.a, i.b);
+  anyof: $Or(i.a, i.b, i.miss);
+  ne: $NEq(i.x, i.y);
+  ne_miss: $NEq(i.x, i.miss);
+  strict: $And(i.truthy, i.a);
+  tri: $Or($Eq(i.x, 1), $And(i.b, $Not(i.a)), $Gt(i.x, 99));
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_logic_builtins_golden(spark, backend):
+    """$And/$Or strict-boolean n-ary folds ("true" strings and missing
+    operands are NOT true) and $NEq (= not $Eq; a missing side IS not
+    equal) — byte-identical on both backends."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"a":true,"b":true,"x":1,"y":2,"truthy":"true"}'),
+            ("b", '{"a":false,"b":true,"x":1,"y":1,"truthy":"true"}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, LOGIC_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"both":true,"anyof":true,"ne":true,"ne_miss":true,'
+        '"strict":false,"tri":true}]}'
+    )
+    assert oks["b"] == (
+        '{"O":[{"both":false,"anyof":true,"ne":false,"ne_miss":true,'
+        '"strict":false,"tri":true}]}'
+    )
+    assert compile_mapping(LOGIC_CFG).supports_columns() is True
+
+
+ARRLIB_CFG = """
+out O: P(root);
+def P(i) {
+  flat: $Flatten(i.nested);
+  uniq: $Unique(i.dupes);
+  uniq_objs: $Unique(i.objs);
+  flat_scalar: $Flatten(i.x);
+  uniq_scalar: $Unique(i.x);
+  chain: $Unique($Flatten(i.nested));
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_array_library_golden(spark, backend):
+    """$Flatten splices one level (scalars and JSON nulls pass through in
+    place); $Unique keeps first occurrences by canonical-JSON equality
+    (object key order is canonical, so {"a":1,"b":2} == {"b":2,"a":1});
+    non-array inputs are nil — byte-identical on both backends."""
+    df = spark.createDataFrame(
+        [
+            (
+                "a",
+                '{"nested":[[1,2],[2,3],5,null,"x",[1,2]],'
+                '"dupes":[1,"1",1,true,null,true,"x",null],'
+                '"objs":[{"a":1,"b":2},{"b":2,"a":1},{"a":1}],'
+                '"x":7}',
+            ),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, ARRLIB_CFG, backend=backend, clock=CLOCK))
+    ok = res.collect()[0]["ok"]
+    assert ok == (
+        '{"O":[{"flat":[1,2,2,3,5,null,"x",1,2],'
+        '"uniq":[1,"1",true,null,"x"],'
+        '"uniq_objs":[{"a":1,"b":2},{"a":1}],'
+        '"chain":[1,2,3,5,null,"x"]}]}'
+    )
+    assert compile_mapping(ARRLIB_CFG).supports_columns() is True
