@@ -264,6 +264,43 @@ def q_mapping_logic(spark, sf_dir):
     )
 
 
+TOPLIST_CFG = """
+out O: P(root);
+def P(i) {
+  top: $SortAndTakeTop(i.evs, "ekey", "true");
+  kinds: $Unique(i.evs[*].t);
+  by_t: $UnionBy(i.evs, "t");
+}
+"""
+
+
+def q_mapping_toplist(spark, sf_dir):
+    """$SortAndTakeTop / $UnionBy / $Unique / wildcard paths over a
+    per-user event log: latest event by a zero-padded sort key (rendering
+    order == numeric order), distinct event kinds in first-occurrence
+    order, and the first event of each kind. Codegen column backend."""
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.struct(
+                F.lpad(F.col("event_id").cast("string"), 8, "0").alias("ekey"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.col("event_type").alias("t"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("id"),
+            F.to_json(F.struct(F.col("evs"))).alias("data"),
+        )
+    )
+    return ok_rows(apply_mapping(per_user, TOPLIST_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 def q_mapping_iterate(spark, sf_dir):
     per_user = (
         _events(spark, sf_dir)
@@ -685,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_reformat": q_mapping_reformat,
         "mapping_numeric": q_mapping_numeric,
         "mapping_logic": q_mapping_logic,
+        "mapping_toplist": q_mapping_toplist,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
         "bundle_assembly": q_bundle_assembly,
@@ -791,6 +829,36 @@ def oracle_sql() -> dict[str, str]:
                           '],"uniq":[', k, ',', k + 1, ',', k + 2,
                           ']}]}') AS output
             FROM ev
+        """,
+        "mapping_toplist": """
+            WITH r AS (
+                SELECT user_id, event_id, event_type AS t,
+                       concat('{"ekey":"',
+                              lpad(CAST(event_id AS VARCHAR), 8, '0'),
+                              '","k":',
+                              CAST(json_extract_string(props, '$.k') AS BIGINT),
+                              ',"t":"', event_type, '"}') AS render
+                FROM events
+            ), tops AS (
+                SELECT user_id, arg_max(render, event_id) AS top
+                FROM r GROUP BY user_id
+            ), firsts AS (
+                SELECT user_id, t, min(event_id) AS first_eid,
+                       arg_min(render, event_id) AS first_render
+                FROM r GROUP BY user_id, t
+            ), agg AS (
+                SELECT user_id,
+                       string_agg(concat('"', t, '"'), ','
+                                  ORDER BY first_eid) AS kinds,
+                       string_agg(first_render, ','
+                                  ORDER BY first_eid) AS by_t
+                FROM firsts GROUP BY user_id
+            )
+            SELECT concat('u', a.user_id) AS id,
+                   concat('{"O":[{"top":', tp.top,
+                          ',"kinds":[', a.kinds,
+                          '],"by_t":[', a.by_t, ']}]}') AS output
+            FROM agg a JOIN tops tp ON a.user_id = tp.user_id
         """,
         "mapping_reformat": """
             SELECT concat('e', event_id) AS id,

@@ -412,6 +412,9 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             penv[vn] = _compile_expr(cfg, vx, penv)
         return _compile_tree(cfg, nest_fields(proj.fields), penv)
     if isinstance(expr, Builtin):
+        if expr.name == "$ListOf":
+            # exactly the `[a, b]` literal semantics
+            return _compile_expr(cfg, Arr(tuple(expr.args)), env)
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         if expr.name == "$ToUpper":
             return _StrCol(F.upper(_str_form(args[0])))
@@ -617,6 +620,92 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                         acc,
                     ).otherwise(F.array_append(acc, x)),
                 )
+            return _ArrCol(out, "variant")
+        if expr.name == "$Type":
+            v = args[0]
+            if isinstance(v, _StrCol):
+                return _StrCol(F.when(v.col.isNotNull(), F.lit("string")))
+            if isinstance(v, _BoolCol):
+                return _StrCol(F.when(v.col.isNotNull(), F.lit("bool")))
+            if isinstance(v, _ArrCol):
+                return _StrCol(F.when(v.col.isNotNull(), F.lit("array")))
+            if isinstance(v, _StrArr):
+                return _StrCol(F.lit("array"))
+            if isinstance(v, _StructVal):
+                return _StrCol(F.lit("container"))
+            # variant: classify by the canonical rendering's first char —
+            # cheaper than schema_of_variant and exactly the pandas rule
+            j = F.to_json(v)
+            c = F.substring(j, 1, 1)
+            return _StrCol(
+                F.when(c == "{", "container")
+                .when(c == "[", "array")
+                .when(c == '"', "string")
+                .when(j.isin("true", "false"), "bool")
+                .when(j == "null", "null")
+                .when(j.isNotNull(), "number")
+            )
+        if expr.name in ("$SortAndTakeTop", "$UnionBy"):
+            v = args[0]
+            if isinstance(v, _ArrCol) and v.elem == "variant":
+                arr = v.col
+            elif isinstance(v, Column):
+                arr = F.try_variant_get(v, "$", "array<variant>")
+            else:
+                raise MappingConfigError(
+                    f"column backend: {expr.name} needs a data-derived array"
+                )
+            keys = [
+                _lit_str(a, f"{expr.name} key") for a in expr.args[1:]
+            ]
+            if expr.name == "$SortAndTakeTop":
+                key, desc = keys  # (key, "true"/"false")
+                if desc not in ("true", "false"):
+                    raise MappingConfigError(
+                        '$SortAndTakeTop descending must be "true" or "false"'
+                    )
+
+                def kf(x):
+                    return F.coalesce(
+                        F.to_json(F.try_variant_get(x, "$." + key, "variant")),
+                        F.lit(""),
+                    )
+
+                # TOTAL order: key rendering, then the whole element's
+                # rendering — so the two backends' sorts cannot diverge on
+                # ties and desc-first == asc-last
+                s = F.array_sort(
+                    arr,
+                    lambda x, y: F.when(kf(x) < kf(y), F.lit(-1))
+                    .when(kf(x) > kf(y), F.lit(1))
+                    .when(F.to_json(x) < F.to_json(y), F.lit(-1))
+                    .when(F.to_json(x) > F.to_json(y), F.lit(1))
+                    .otherwise(F.lit(0)),
+                )
+                return F.try_element_at(
+                    s, F.lit(-1 if desc == "true" else 1)
+                )
+            # $UnionBy: first-occurrence dedup by the rendering tuple of
+            # the key fields (\x00-joined; a missing field renders as a
+            # sentinel distinct from JSON null)
+
+            def ukey(x):
+                parts = [
+                    F.coalesce(
+                        F.to_json(F.try_variant_get(x, "$." + k, "variant")),
+                        F.lit("\x00missing"),
+                    )
+                    for k in keys
+                ]
+                return F.concat_ws("\x00", *parts)
+
+            out = F.aggregate(
+                arr,
+                F.expr("cast(array() as array<variant>)"),
+                lambda acc, x: F.when(
+                    F.array_contains(F.transform(acc, ukey), ukey(x)), acc
+                ).otherwise(F.array_append(acc, x)),
+            )
             return _ArrCol(out, "variant")
         if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
             ds = [_num_form(a) for a in args]
@@ -928,6 +1017,8 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 penv[vn] = eval_expr(vx, penv)
             return eval_tree(trees[expr.name], penv)
         if isinstance(expr, Builtin):
+            if expr.name == "$ListOf":
+                return eval_expr(Arr(tuple(expr.args)), env)
             vals = [eval_expr(a, env) for a in expr.args]
             if expr.name == "$Not":
                 # strict: true iff the value is NOT JSON true (missing,
@@ -1107,6 +1198,68 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     k = json_canon.dumps(json_canon.canon_sort(el))
                     if k not in seen_r:
                         seen_r.add(k)
+                        out_l.append(el)
+                return out_l
+            if expr.name == "$Type":
+                v = vals[0]
+                if v is _MISSING:
+                    return _MISSING
+                if v is None:
+                    return "null"
+                if v is True or v is False:
+                    return "bool"
+                if isinstance(v, (int, float)):
+                    return "number"
+                if isinstance(v, str):
+                    return "string"
+                if isinstance(v, list):
+                    return "array"
+                return "container"
+            if expr.name in ("$SortAndTakeTop", "$UnionBy"):
+                v = vals[0]
+                if not isinstance(v, list):
+                    return _MISSING
+
+                def fkey(el, key):
+                    # rendering of el[key], '' / sentinel when missing —
+                    # the column backend's coalesce(to_json(...), ...)
+                    cur = el
+                    for p in key.split("."):
+                        if isinstance(cur, dict) and p in cur:
+                            cur = cur[p]
+                        else:
+                            return None
+                    return json_canon.dumps(json_canon.canon_sort(cur))
+
+                if expr.name == "$SortAndTakeTop":
+                    key, desc = vals[1], vals[2]
+                    if desc not in ("true", "false") or not isinstance(
+                        key, str
+                    ):
+                        return _MISSING
+                    if not v:
+                        return _MISSING
+                    s = sorted(
+                        v,
+                        key=lambda el: (
+                            fkey(el, key) or "",
+                            json_canon.dumps(json_canon.canon_sort(el)),
+                        ),
+                    )
+                    return s[-1] if desc == "true" else s[0]
+                keys = vals[1:]
+                if any(not isinstance(k, str) for k in keys):
+                    return _MISSING
+                seen_u: set = set()
+                out_l = []
+                for el in v:
+                    kt = "\x00".join(
+                        fkey(el, k) if fkey(el, k) is not None
+                        else "\x00missing"
+                        for k in keys
+                    )
+                    if kt not in seen_u:
+                        seen_u.add(kt)
                         out_l.append(el)
                 return out_l
             if expr.name == "$If":

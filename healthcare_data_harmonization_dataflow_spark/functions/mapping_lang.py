@@ -28,10 +28,10 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   or non-array source yields missing), array construction (``[a, b, c]``
   — a missing element renders as JSON null, preserving positions), builtin
   calls (``$ToUpper/$ToLower/$StrCat/$Hash/$Trim/$SubStr/$ReformatTime/
-  $ListCat/$Flatten/$Unique`` + the coercion/parsing/regex library — see
-  ``BUILTINS``), conditionals and boolean logic
-  (``$Eq``/``$NEq``/``$If``/``$Not``/``$And``/``$Or``, strict-boolean,
-  canonical-JSON equality), ``root`` = whole input
+  $ListCat/$Flatten/$Unique/$ListOf/$Type/$SortAndTakeTop/$UnionBy`` + the
+  coercion/parsing/regex library — see ``BUILTINS``), conditionals and
+  boolean logic (``$Eq``/``$NEq``/``$If``/``$Not``/``$And``/``$Or``,
+  strict-boolean, canonical-JSON equality), ``root`` = whole input
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -135,6 +135,19 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     # by canonical-JSON rendering (the $Eq equality)
     "$Flatten": (1, 1),
     "$Unique": (1, 1),
+    # $ListOf builds an array from its arguments (exactly the `[a, b]`
+    # literal semantics: a missing element holds its position as JSON
+    # null); $Type names a value's JSON type (null/bool/number/string/
+    # array/container, nil for missing); $SortAndTakeTop(arr, key, desc)
+    # returns the single top element after a TOTAL order by the canonical
+    # rendering of element[key] (ties broken by the whole element's
+    # rendering; desc is the literal "true"/"false"); $UnionBy(arr, k...)
+    # dedups objects by the rendering tuple of one or more key fields,
+    # keeping first occurrences
+    "$ListOf": (0, None),
+    "$Type": (1, 1),
+    "$SortAndTakeTop": (3, 3),
+    "$UnionBy": (2, None),
     # processing-time stamp rendered with a literal pattern from the same
     # subset; reads the engine's injected clock (apply_mapping(clock=...))
     # for determinism — without an injected clock each backend uses its own

@@ -1084,3 +1084,50 @@ def test_array_library_golden(spark, backend):
         '"chain":[1,2,3,5,null,"x"]}]}'
     )
     assert compile_mapping(ARRLIB_CFG).supports_columns() is True
+
+
+TYPELIB_CFG = """
+out O: P(root);
+def P(i) {
+  types: [$Type(i.n), $Type(i.s), $Type(i.b), $Type(i.arr), $Type(i.obj), $Type(i.z), $Type(i.miss)];
+  built: $ListOf(i.n, i.miss, "lit", $Sum(i.n, 1));
+  top_new: $SortAndTakeTop(i.logs, "ts", "true");
+  top_old: $SortAndTakeTop(i.logs, "ts", "false");
+  first_by: $UnionBy(i.logs, "who");
+  pair_by: $UnionBy(i.logs, "who", "ts");
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_type_list_sort_union_golden(spark, backend):
+    """$Type names JSON types (nil for missing); $ListOf = array-literal
+    semantics (missing holds position as null); $SortAndTakeTop returns the
+    single top element under a total order (key rendering, whole-element
+    tie-break); $UnionBy dedups by one or more key fields keeping first
+    occurrences — byte-identical on both backends."""
+    df = spark.createDataFrame(
+        [
+            (
+                "a",
+                '{"n":2,"s":"x","b":true,"arr":[1],"obj":{"k":1},"z":null,'
+                '"logs":['
+                '{"who":"ann","ts":"2024-02-01"},'
+                '{"who":"bob","ts":"2024-01-01"},'
+                '{"who":"ann","ts":"2024-03-01"},'
+                '{"who":"bob","ts":"2024-01-01","x":1}]}',
+            ),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, TYPELIB_CFG, backend=backend, clock=CLOCK))
+    ok = res.collect()[0]["ok"]
+    assert ok == (
+        '{"O":[{"types":["number","string","bool","array","container","null",null],'
+        '"built":[2,null,"lit",3],'
+        '"top_new":{"ts":"2024-03-01","who":"ann"},'
+        '"top_old":{"ts":"2024-01-01","who":"bob","x":1},'
+        '"first_by":[{"ts":"2024-02-01","who":"ann"},{"ts":"2024-01-01","who":"bob"}],'
+        '"pair_by":[{"ts":"2024-02-01","who":"ann"},{"ts":"2024-01-01","who":"bob"},{"ts":"2024-03-01","who":"ann"}]}]}'
+    )
+    assert compile_mapping(TYPELIB_CFG).supports_columns() is True
