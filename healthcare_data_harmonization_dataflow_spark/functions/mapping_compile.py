@@ -784,6 +784,23 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     coerced.append(b)
                 branches = coerced
                 kinds = {_kind(b) for b in branches}
+            if kinds in ({"str", "variant"}, {"bool", "variant"}):
+                # lift the typed branch to VARIANT: a JSON round-trip
+                # through a 1-field struct escapes correctly, and to_json's
+                # ignoreNullFields maps SQL NULL back to missing (not JSON
+                # null). Only paid on mixed-kind $If shapes — e.g. the
+                # `field!:` overwrite chain wrapping a single-branch $If
+                branches = [
+                    b
+                    if _kind(b) == "variant"
+                    else F.try_variant_get(
+                        F.parse_json(F.to_json(F.struct(b.col.alias("v")))),
+                        "$.v",
+                        "variant",
+                    )
+                    for b in branches
+                ]
+                kinds = {"variant"}
             if "other" in kinds or len(kinds) > 1:
                 raise MappingConfigError(
                     "column backend: $If branches must be uniform values"

@@ -10,7 +10,11 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
 * ``out <Target>: <expr>;``            — append expr value to output[Target]
 * ``def <Name>(<params>) { field: expr; ... }``   — projector definition
 * nested target fields inside projectors (``meta.cat: expr;``) — built as
-  nested objects, insertion-ordered, conflicts rejected at compile time
+  nested objects, insertion-ordered, conflicts rejected at compile time;
+  ``field!: expr;`` overwrites an earlier write at the same path (over a
+  leaf the new value wins unless nil — writing nil is a no-op, making
+  ``!`` in an if-block a conditional overwrite; over a subtree/append
+  array it replaces outright)
 * array-append target fields (``items[]: expr;``) — produced values
   accumulate in declaration order (missing appends nothing)
 * ``var <name>: <expr>;`` bindings — at the top level (before ``out``
@@ -238,13 +242,22 @@ class Projector:
 
 
 def nest_fields(fields) -> dict:
-    """Fold a projector's (target_path, expr, append) list into an
-    insertion-ordered nested tree: name -> ('leaf', expr) | ('node',
-    subtree) | ('arr', [expr, ...]) for ``path[]`` append targets. Raises
-    MappingConfigError on duplicate or leaf-vs-prefix conflicts."""
+    """Fold a projector's (target_path, expr, append, overwrite) list into
+    an insertion-ordered nested tree: name -> ('leaf', expr) | ('node',
+    subtree) | ('arr', [expr, ...]) for ``path[]`` append targets. A
+    ``path!:`` entry (overwrite=True) overwrites an earlier entry at that
+    exact path, keeping the original declaration position: over a LEAF the
+    new value wins unless it evaluates to nil (writing nil is a no-op, so
+    `!` inside an if-block is a conditional overwrite); over a subtree or
+    an append array it replaces outright. Without ``!`` a duplicate target
+    is a compile-time conflict. Raises MappingConfigError on duplicate or
+    leaf-vs-prefix conflicts."""
     root: dict = {}
     for entry in fields:
-        path, expr, append = entry if len(entry) == 3 else (*entry, False)
+        path, expr, append, overwrite = (
+            *entry,
+            *((False,) * (4 - len(entry))),
+        )
         cur = root
         for seg in path[:-1]:
             node = cur.get(seg)
@@ -269,10 +282,22 @@ def nest_fields(fields) -> dict:
                     "earlier non-append field"
                 )
         else:
-            if prev is not None:
+            if prev is not None and not overwrite:
                 raise MappingConfigError(
-                    f"duplicate target field '{'.'.join(path)}'"
+                    f"duplicate target field '{'.'.join(path)}' "
+                    "(use 'field!:' to overwrite)"
                 )
+            if prev is not None and prev[0] == "leaf":
+                # Whistle overwrite with writing-nil-is-a-no-op: the new
+                # value wins unless it is nil, in which case the earlier
+                # value stays — which makes `field!:` inside an if-block a
+                # conditional overwrite for free. Expressed in the AST so
+                # both backends inherit it.
+                expr = Builtin(
+                    "$If", (Builtin("$IsNil", (expr,)), prev[1], expr)
+                )
+            # overwriting a nested subtree or an append array replaces it
+            # outright (there is no expr to fall back to)
             cur[last] = ("leaf", expr)
     return root
 
@@ -347,7 +372,7 @@ class MappingConfig:
                         f"in projector '{expr.name}'"
                     )
                 pbound.append(vname)
-            for _, fexpr, _append in proj.fields:
+            for _, fexpr, *_flags in proj.fields:
                 self._check(fexpr, bound=tuple(pbound), _stack=stack)
             return
         if isinstance(expr, Builtin):
@@ -414,7 +439,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<ident>[$]?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>[{}();:,.\[\]*])
+  | (?P<punct>[{}();:,.\[\]*!])
     """,
     re.VERBOSE,
 )
@@ -535,10 +560,18 @@ class _Parser:
             self.next()
             self.expect(value="]")
             append = True
+        overwrite = False
+        if self.peek()[1] == "!":  # `path!:` — overwrite an earlier write
+            if append:
+                raise MappingConfigError(
+                    "'!' cannot combine with an append target ('path[]!')"
+                )
+            self.next()
+            overwrite = True
         self.expect(value=":")
         fexpr = self.parse_expr()
         self.expect(value=";")
-        return (tuple(fpath), fexpr, append)
+        return (tuple(fpath), fexpr, append, overwrite)
 
     def _parse_if_block(self):
         self.expect(value="if")
@@ -659,20 +692,25 @@ def _desugar_if(cond, then_fields, else_fields):
     -> ``$If($Not(c), e)``. Append targets never merge — each entry appends
     only when its branch is taken. Declaration order: then entries first,
     then the remaining else entries."""
-    else_leaf = {p: e for p, e, ap in else_fields if not ap}
+    norm = lambda fs: [(*f, *((False,) * (4 - len(f)))) for f in fs]
+    then_fields, else_fields = norm(then_fields), norm(else_fields)
+    else_leaf = {p: (e, ow) for p, e, ap, ow in else_fields if not ap}
     merged: set = set()
     out = []
-    for path, expr, append in then_fields:
+    for path, expr, append, ow in then_fields:
         if not append and path in else_leaf:
-            out.append((path, Builtin("$If", (cond, expr, else_leaf[path])), False))
+            e_expr, e_ow = else_leaf[path]
+            out.append(
+                (path, Builtin("$If", (cond, expr, e_expr)), False, ow or e_ow)
+            )
             merged.add(path)
         else:
-            out.append((path, Builtin("$If", (cond, expr)), append))
+            out.append((path, Builtin("$If", (cond, expr)), append, ow))
     neg = Builtin("$Not", (cond,))
-    for path, expr, append in else_fields:
+    for path, expr, append, ow in else_fields:
         if not append and path in merged:
             continue
-        out.append((path, Builtin("$If", (neg, expr)), append))
+        out.append((path, Builtin("$If", (neg, expr)), append, ow))
     return out
 
 

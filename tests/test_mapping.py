@@ -1131,3 +1131,48 @@ def test_type_list_sort_union_golden(spark, backend):
         '"pair_by":[{"ts":"2024-02-01","who":"ann"},{"ts":"2024-01-01","who":"bob"},{"ts":"2024-03-01","who":"ann"}]}]}'
     )
     assert compile_mapping(TYPELIB_CFG).supports_columns() is True
+
+
+OVERWRITE_CFG = """
+out O: P(root);
+def P(i) {
+  status: "provisional";
+  status!: $ToUpper(i.s);
+  meta.a: 1;
+  meta.b: 2;
+  meta!: i.obj;
+  items[]: 1;
+  items[]: 2;
+  items!: i.arr;
+  if $Eq(i.s, "x") {
+    status!: "expired";
+  }
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_overwrite_targets_golden(spark, backend):
+    """`field!:` replaces an earlier write at the same path — leaf, nested
+    subtree, or append array — keeping the first write's declaration
+    position; inside an if-block the overwrite applies only when the
+    branch is taken. Duplicate writes WITHOUT `!` stay compile errors."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"s":"ok","obj":{"z":9},"arr":[7]}'),
+            ("b", '{"s":"x","obj":{"z":1},"arr":[]}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, OVERWRITE_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == '{"O":[{"status":"OK","meta":{"z":9},"items":[7]}]}'
+    # branch taken: the conditional overwrite wins; arr empty -> []
+    assert oks["b"] == '{"O":[{"status":"expired","meta":{"z":1},"items":[]}]}'
+
+
+def test_duplicate_target_without_bang_still_fails():
+    with pytest.raises(MappingConfigError, match="duplicate target"):
+        compile_mapping("out O: P(root);\ndef P(i) { a: 1; a: 2; }")
+    with pytest.raises(MappingConfigError, match="cannot combine"):
+        compile_mapping("out O: P(root);\ndef P(i) { a[]!: 1; }")
