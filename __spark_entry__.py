@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from healthcare_data_harmonization_dataflow_spark.functions import text as T
 from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
 from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
+from healthcare_data_harmonization_dataflow_spark.operators import graph as G
 from healthcare_data_harmonization_dataflow_spark.operators import multimodal as MM
 from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
 from healthcare_data_harmonization_dataflow_spark.operators.bundles import (
@@ -463,6 +464,20 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH pair graph: every doc
+    labelled with the smallest doc_id of its duplicate cluster (the
+    keep-one-per-cluster step of a dedup pipeline). Min-label propagation,
+    O(diameter) shuffle-join rounds, lineage cut per round."""
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    edges = D.minhash_lsh_pairs(docs)
+    return connected_components(edges, nodes=docs.select("doc_id"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -741,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1013,6 +1029,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.exact_dedup_oracle_sql(),
         "dedup_minhash_signature": D.minhash_signature_oracle_sql(),
         "dedup_minhash_lsh_pairs": D.minhash_lsh_pairs_oracle_sql(),
+        "dedup_clusters": G.connected_components_oracle_sql(
+            D.minhash_lsh_pairs_oracle_sql()
+        ),
         "dedup_simhash": D.simhash_oracle_sql(),
         "dedup_simhash_pairs": D.simhash_pairs_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),

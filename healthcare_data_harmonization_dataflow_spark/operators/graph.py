@@ -1,0 +1,120 @@
+"""Connected components over a duplicate-pair graph.
+
+The dedup operators (operators/dedup.py, operators/similarity.py) emit
+candidate PAIRS; a training-data pipeline then needs the transitive
+closure — "these 17 documents are all one duplicate cluster, keep one" —
+before it can drop rows. The reference has no graph stage (it is a
+record-at-a-time Beam pipeline), so this is part of the LLM-pipeline
+operator suite, built Spark-first.
+
+Algorithm: min-label propagation. Every node starts labelled with its own
+id; each round every node takes the minimum label among itself and its
+neighbours; at a fixpoint each node carries the smallest id of its
+component. Rounds are plain shuffle joins, so Catalyst/AQE plan each one
+(broadcast when the frontier is small, skew-split when one cluster is
+hot).
+
+Scale notes (100 TB):
+* Convergence is O(graph diameter) rounds. Near-dup graphs are unions of
+  near-cliques (LSH band joins emit all pairs in a bucket), so diameters
+  are tiny — single digits even at billions of docs. For adversarial
+  long-chain graphs the alternating large-star/small-star variant
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+  to O(log n) rounds; the loop below accepts that as a future swap
+  without API change.
+* Only (id, label) pairs and (src, dst) edges ever shuffle — fixed-width
+  longs, never payloads.
+* Each round ends with localCheckpoint(eager=True) to truncate lineage —
+  otherwise the plan doubles per round and Catalyst analysis time blows
+  up long before data does. On a cluster with flaky executors prefer
+  spark.sparkContext.setCheckpointDir + .checkpoint() (durable) — the
+  trade is an HDFS write per round.
+* The per-round convergence probe is a single count() — one scalar to
+  the driver per round, not a collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    label_col: str = "cluster",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the smallest node id in its component.
+
+    ``edges`` is an undirected pair list (each pair in either or both
+    orientations). ``nodes`` optionally supplies the full node universe
+    (isolated nodes — no pairs — come out labelled with themselves);
+    when omitted the universe is the ids that appear in ``edges``.
+    Returns (id_col, label_col), one row per node.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    # distinct() shuffles once; every round then reuses this materialized
+    # edge set
+    sym = sym.localCheckpoint(eager=True)
+
+    if nodes is not None:
+        universe = nodes.select(F.col(id_col).cast("long").alias("s")).distinct()
+    else:
+        universe = sym.select("s").distinct()
+    labels = universe.select("s", F.col("s").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # each node's best neighbour label this round
+        neigh = (
+            sym.join(labels.withColumnRenamed("s", "d"), "d")
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "s", "left")
+            .select("s", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "s")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("s").alias(id_col), F.col("lbl").alias(label_col)
+    )
+
+
+def connected_components_oracle_sql(pairs_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (exact, viable
+    at oracle scale), labelling each doc with the min reachable id.
+    ``pairs_sql`` must yield (doc1, doc2)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        sym AS (
+            SELECT doc1 AS s, doc2 AS d FROM pairs
+            UNION
+            SELECT doc2 AS s, doc1 AS d FROM pairs
+        ),
+        reach(s, d) AS (
+            SELECT {id_col}, {id_col} FROM documents
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        )
+        SELECT s AS {id_col}, min(d) AS cluster
+        FROM reach GROUP BY s
+    """

@@ -412,3 +412,38 @@ def test_ngram_profile_cap_enforced_inside_profile_path(spark):
         W.simplefilter("always")
         ngram_jaccard_pairs(dups, strategy="profile", profile_cap=10).collect()
     assert not any("profile_cap" in str(w.message) for w in got2)
+
+
+# ------------------------------------------------------- connected components
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation labels every node with its component's min id:
+    a 5-node chain (worst-case diameter for the round count), a 2-clique,
+    and isolated nodes from the universe; direction of the input pairs is
+    irrelevant."""
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 4), (10, 11)],  # chain 1-2-3-4-5, pair 10-11
+        "doc1 long, doc2 long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                  "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_without_universe(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(7, 3), (3, 9)], "doc1 long, doc2 long")
+    got = {
+        r["doc_id"]: r["cluster"] for r in connected_components(edges).collect()
+    }
+    assert got == {3: 3, 7: 3, 9: 3}
