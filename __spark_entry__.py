@@ -478,6 +478,38 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(edges, nodes=docs.select("doc_id"))
 
 
+def q_corpus_curate(spark, sf_dir):
+    """The end-to-end curation composition a training-data pipeline runs
+    before tokenization: language gate (predicted 'en'), quality gates
+    (length + stopword ratio), and ONE canonical doc per duplicate
+    cluster (the cluster's min doc_id). The dup edges are VERIFIED
+    near-dups (exact n-gram Jaccard >= 0.9), not raw LSH candidates —
+    on a template-heavy corpus raw candidates over-merge into one giant
+    component and the filter would keep one doc per corpus. One
+    broadcast-friendly join of codegen signal columns against the
+    cluster labels; only ids and fixed-width signals shuffle, text
+    never leaves the scan stage."""
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    signals = docs.select("doc_id", T.langid_col(), *T.quality_cols())
+    clusters = connected_components(
+        D.ngram_jaccard_pairs(docs, threshold=0.9), nodes=docs.select("doc_id")
+    )
+    return (
+        signals.join(clusters, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("cluster"))
+            & (F.col("pred_lang") == "en")
+            & (F.col("n_chars_measured") >= 100)
+            & (F.col("stopword_ratio_ppm") >= 20000)
+        )
+        .select("doc_id", "n_words", "stopword_ratio_ppm")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -757,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signature": q_dedup_minhash_signature,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_curate": q_corpus_curate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1032,6 +1065,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": G.connected_components_oracle_sql(
             D.minhash_lsh_pairs_oracle_sql()
         ),
+        "corpus_curate": f"""
+            WITH lang AS ({T.langid_oracle_sql()}),
+            qual AS ({T.quality_oracle_sql()}),
+            cc AS ({G.connected_components_oracle_sql(D.ngram_jaccard_oracle_sql(threshold=0.9))})
+            SELECT q.doc_id, q.n_words, q.stopword_ratio_ppm
+            FROM qual q
+            JOIN lang l ON q.doc_id = l.doc_id
+            JOIN cc ON q.doc_id = cc.doc_id
+            WHERE q.doc_id = cc.cluster
+              AND l.pred_lang = 'en'
+              AND q.n_chars_measured >= 100
+              AND q.stopword_ratio_ppm >= 20000
+        """,
         "dedup_simhash": D.simhash_oracle_sql(),
         "dedup_simhash_pairs": D.simhash_pairs_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle_sql(threshold=0.5),

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "attach_tool_calls",
     "enrich_broadcast",
     "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_curate",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "ann_brute_topk",

@@ -226,6 +226,17 @@ def P(input) {
   big: $Gt(input.num, 10);
   wnames: input.items[*].s;
   wall: input.items[*];
+  lg: $And($Gt(input.num, 0), $Lt(input.num, 100));
+  anyv: $Or($Eq(input.kind, "a"), $NEq(input.num, 7));
+  fl: $Flatten(input.items);
+  un: $Unique(input.items);
+  ty: $Type(input.items);
+  tyn: $Type(input.num);
+  lst: $ListOf(input.num, input.kind, "lit");
+  topk: $SortAndTakeTop(input.items, "s", "true");
+  ub: $UnionBy(input.items, "s");
+  ow: "base";
+  ow!: $If($Eq(input.kind, "a"), "overwritten");
 }
 def It(e) {
   u: $ToUpper(e.s);
