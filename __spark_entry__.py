@@ -230,6 +230,42 @@ def q_mapping_numeric(spark, sf_dir):
     )
 
 
+INFIX_Q_CFG = """
+out Output: P(root);
+def P(i) {
+  hot: i.t = "error" and i.k > 50;
+  cold: not (i.t = "error") and i.k <= 10;
+  score: (i.k + 1) * 2 - i.k;
+  spike: i.v > 50 or i.k >= 90;
+  tagged: i.tag?;
+  delta: -i.k + i.eid;
+}
+"""
+
+
+def q_mapping_infix(spark, sf_dir):
+    """Whistle infix operators (comparisons, and/or/not, + - * /, unary
+    minus, `expr?` existence) over the events table. All of it desugars at
+    parse time to the builtin library, so the whole transform stays in the
+    codegen column backend — one scan, zero Python."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(  # to_json drops null fields -> `tag` exists on 1 row in 3
+            F.struct(
+                F.col("event_type").alias("t"),
+                k.alias("k"),
+                F.col("value").alias("v"),
+                F.col("event_id").alias("eid"),
+                F.when(F.col("event_id") % 3 == 0, F.lit("x")).alias("tag"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, INFIX_Q_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 LOGIC_Q_CFG = """
 out Output: P(root);
 def P(i) {
@@ -298,6 +334,46 @@ def q_mapping_toplist(spark, sf_dir):
         )
     )
     return ok_rows(apply_mapping(per_user, TOPLIST_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
+WHERE_Q_CFG = """
+out Output: P(root);
+def P(i) {
+  var errs: i.evs[where $.t = "error" and $.k > 10];
+  var big: i.evs[where $.k >= 90];
+  n_err: $ListLen(errs);
+  err_ks: errs[*].k;
+  big_ts: big[*].t;
+  errors: errs;
+}
+"""
+
+
+def q_mapping_where(spark, sf_dir):
+    """`[where]` array filters over a per-user event log: `$`-bound
+    predicates with infix comparisons, var-bound filter results navigated
+    with wildcards. Compiles to F.filter/F.transform — the whole transform
+    stays in the codegen column backend (one shuffle for the groupBy)."""
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.struct(
+                F.col("event_id").alias("eid"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                F.col("event_type").alias("t"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+        .select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("id"),
+            F.to_json(F.struct(F.col("evs"))).alias("data"),
+        )
+    )
+    return ok_rows(apply_mapping(per_user, WHERE_Q_CFG)).select(
         "id", F.col("ok").alias("output")
     )
 
@@ -769,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_reformat": q_mapping_reformat,
         "mapping_numeric": q_mapping_numeric,
         "mapping_logic": q_mapping_logic,
+        "mapping_infix": q_mapping_infix,
+        "mapping_where": q_mapping_where,
         "mapping_toplist": q_mapping_toplist,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
@@ -878,6 +956,54 @@ def oracle_sql() -> dict[str, str]:
                           '],"uniq":[', k, ',', k + 1, ',', k + 2,
                           ']}]}') AS output
             FROM ev
+        """,
+        "mapping_infix": """
+            WITH ev AS (
+                SELECT event_id, event_type AS t, value AS v,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"hot":',
+                          CASE WHEN t = 'error' AND k > 50
+                               THEN 'true' ELSE 'false' END,
+                          ',"cold":',
+                          CASE WHEN t <> 'error' AND k <= 10
+                               THEN 'true' ELSE 'false' END,
+                          ',"score":', k + 2,
+                          ',"spike":',
+                          CASE WHEN v > 50 OR k >= 90
+                               THEN 'true' ELSE 'false' END,
+                          ',"tagged":',
+                          CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END,
+                          ',"delta":', event_id - k, '}]}') AS output
+            FROM ev
+        """,
+        "mapping_where": """
+            WITH r AS (
+                SELECT user_id, event_id AS eid, event_type AS t,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            ), f AS (
+                SELECT user_id,
+                       count(*) FILTER (WHERE t = 'error' AND k > 10) AS n_err,
+                       coalesce(string_agg(CAST(k AS VARCHAR), ',' ORDER BY eid)
+                                FILTER (WHERE t = 'error' AND k > 10), '') AS err_ks,
+                       coalesce(string_agg(concat('"', t, '"'), ',' ORDER BY eid)
+                                FILTER (WHERE k >= 90), '') AS big_ts,
+                       coalesce(string_agg(
+                                    concat('{"eid":', eid, ',"k":', k,
+                                           ',"t":"', t, '"}'),
+                                    ',' ORDER BY eid)
+                                FILTER (WHERE t = 'error' AND k > 10), '') AS errors
+                FROM r GROUP BY user_id
+            )
+            SELECT concat('u', user_id) AS id,
+                   concat('{"Output":[{"n_err":', n_err,
+                          ',"err_ks":[', err_ks,
+                          '],"big_ts":[', big_ts,
+                          '],"errors":[', errors, ']}]}') AS output
+            FROM f
         """,
         "mapping_toplist": """
             WITH r AS (

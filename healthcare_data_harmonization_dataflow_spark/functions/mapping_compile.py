@@ -44,6 +44,7 @@ from .mapping_lang import (
     MappingConfig,
     MappingConfigError,
     Path,
+    Where,
     _time_translate,
     nest_fields,
     parse_mapping_config,
@@ -344,6 +345,20 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             base = elem_col
         if isinstance(base, _ArrCol) and parts == ["*"]:
             return base  # wildcard identity over an append-target array
+        if (
+            isinstance(base, _ArrCol)
+            and base.elem == "variant"
+            and parts
+            and parts[0] == "*"
+        ):
+            # wildcard navigation into a variant-element array (e.g. a
+            # var-bound [where]-filter result): per-element extraction with
+            # the same missing-skipped / null-kept rule as _wild_nav
+            rest = list(parts[1:])
+            if not rest:
+                return base
+            mapped = F.transform(base.col, lambda x: _wild_nav(x, rest)[0])
+            return _ArrCol(F.filter(mapped, lambda x: x.isNotNull()), "variant")
         if isinstance(base, _ArrCol) and "*" in parts:
             # wildcard navigation INTO projector-built arrays needs per-
             # element dynamic structure: pandas backend territory
@@ -367,6 +382,31 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             )
         col, is_arr = _wild_nav(base, parts)
         return _ArrCol(col, "variant") if is_arr else col
+    if isinstance(expr, Where):
+        base = _compile_expr(cfg, expr.base, env)
+        if isinstance(base, _ArrCol):
+            if base.elem != "variant":
+                raise MappingConfigError(
+                    "column backend: cannot [where]-filter an iterated/"
+                    "rendered array"
+                )
+            arr = base.col
+        elif isinstance(base, Column):
+            # variant -> array<variant>: NULL for a missing/non-array base
+            # (nil), matching the python backend's _MISSING
+            arr = F.try_variant_get(base, "$", "array<variant>")
+        else:
+            raise MappingConfigError(
+                "column backend: [where] filter needs a data array"
+            )
+
+        def _keep(e):
+            penv = dict(env)
+            penv["$"] = e
+            # strict boolean: NULL (missing/non-boolean) drops the element
+            return _cond_col(_compile_expr(cfg, expr.pred, penv))
+
+        return _ArrCol(F.filter(arr, _keep), "variant")
     if isinstance(expr, Call):
         proj = cfg.projectors[expr.name]
         iters = [i for i, a in enumerate(expr.args) if isinstance(a, Iterate)]
@@ -996,6 +1036,18 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             # must keep its insertion order — sorting it would diverge from
             # the column backend's named_struct rendering
             return nav(env[expr.var], expr.parts)
+        if isinstance(expr, Where):
+            base = eval_expr(expr.base, env)
+            if not isinstance(base, list):
+                return _MISSING  # missing/non-array base is nil
+            out = []
+            for el in base:
+                penv = dict(env)
+                penv["$"] = el
+                # strict boolean: keep iff the predicate is JSON true
+                if eval_expr(expr.pred, penv) is True:
+                    out.append(el)
+            return out
         if isinstance(expr, Call):
             proj = cfg.projectors[expr.name]
             iters = {i for i, a in enumerate(expr.args) if isinstance(a, Iterate)}

@@ -36,6 +36,18 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   coercion/parsing/regex library — see ``BUILTINS``), conditionals and
   boolean logic (``$Eq``/``$NEq``/``$If``/``$Not``/``$And``/``$Or``,
   strict-boolean, canonical-JSON equality), ``root`` = whole input
+* infix operators, desugared at parse time to the builtins above (so both
+  backends inherit them unchanged): ``or`` < ``and`` < ``= ~= > < >= <=``
+  (non-chaining comparisons) < ``+ -`` < ``* /`` < unary ``not``/``-`` <
+  postfix ``expr?`` (existence, = ``$Not($IsNil(expr))``). ``+`` is the
+  numeric ``$Sum`` (use ``$StrCat`` for strings); ``and``/``or``/``not``
+  are reserved words in expression position
+* array filters ``path[where pred]`` — keep the elements of the array at
+  ``path`` for which ``pred`` (with ``$`` bound to the element, e.g.
+  ``i.items[where $.k > 2]``) is JSON true; missing/non-boolean predicates
+  drop the element, a missing/non-array base is nil; filters chain but end
+  the path (bind to a ``var`` to navigate the filtered result). Compiled
+  to ``F.filter`` in the column backend — stays in codegen
 * textproto root mappings (e2e corpus,
   src/test/resources/streaming/e2e/identical.mapping_config.textproto):
   ``root_mapping { value_source { from_source: "." } target_object: "t" }``
@@ -91,6 +103,19 @@ class Iterate:
     a direct argument of a projector call."""
 
     path: Path
+
+
+@dataclass(frozen=True)
+class Where:
+    """``base[where pred]`` — Whistle array filter. Keeps the elements of
+    the array at ``base`` for which ``pred`` (evaluated with ``$`` bound to
+    the element) is JSON true; a missing/non-boolean predicate drops the
+    element; a missing/non-array base is nil. Filters chain
+    (``a[where p][where q]``) but a filter ends the path — bind the result
+    to a ``var`` to navigate further (e.g. with ``hits[*].name``)."""
+
+    base: object
+    pred: object
 
 
 # builtin name -> (min_arity, max_arity or None = unbounded)
@@ -429,6 +454,11 @@ class MappingConfig:
             for it in expr.items:
                 self._check(it, bound, _stack)
             return
+        if isinstance(expr, Where):
+            self._check(expr.base, bound, _stack)
+            # the predicate additionally sees `$` = the array element
+            self._check(expr.pred, tuple(bound) + ("$",), _stack)
+            return
         raise MappingConfigError(f"unsupported expression node: {expr!r}")
 
 
@@ -437,8 +467,9 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|//[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<number>\d+(?:\.\d+)?)
   | (?P<ident>[$]?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>~=|>=|<=|[=<>+\-/?$])
   | (?P<punct>[{}();:,.\[\]*!])
     """,
     re.VERBOSE,
@@ -612,9 +643,105 @@ class _Parser:
             raise MappingConfigError("root_mapping needs value_source.from_source and target_object")
         return target, src
 
-    # expr := literal | array | builtin | call | path
+    # Infix operator surface (Whistle's expression operators), desugared at
+    # parse time to the builtin library so both backends inherit it with no
+    # compiler changes:
+    #   or  < and  < comparisons (= ~= > < >= <=, non-chaining)
+    #       < + - (left-assoc, numeric envelope: $Sum/$Sub)
+    #       < * / (left-assoc: $Mul/$Div)
+    #       < unary (not E -> $Not, -E -> negated literal / $Sub(0, E))
+    #       < postfix E? (existence: $Not($IsNil(E)))
+    # expr := or
     def parse_expr(self):
+        return self._parse_or()
+
+    def _parse_or(self):
+        args = [self._parse_and()]
+        while self.peek() == ("ident", "or"):
+            self.next()
+            args.append(self._parse_and())
+        return args[0] if len(args) == 1 else Builtin("$Or", tuple(args))
+
+    def _parse_and(self):
+        args = [self._parse_cmp()]
+        while self.peek() == ("ident", "and"):
+            self.next()
+            args.append(self._parse_cmp())
+        return args[0] if len(args) == 1 else Builtin("$And", tuple(args))
+
+    _CMP_OPS = {
+        "=": "$Eq",
+        "~=": "$NEq",
+        ">": "$Gt",
+        "<": "$Lt",
+        ">=": "$Gte",
+        "<=": "$Lte",
+    }
+
+    def _parse_cmp(self):
+        e = self._parse_add()
         k, v = self.peek()
+        if k == "op" and v in self._CMP_OPS:
+            self.next()
+            e = Builtin(self._CMP_OPS[v], (e, self._parse_add()))
+            k2, v2 = self.peek()
+            if k2 == "op" and v2 in self._CMP_OPS:
+                raise MappingConfigError(
+                    f"comparison operators do not chain ('a {v} b {v2} c'); "
+                    "parenthesize with $And"
+                )
+        return e
+
+    def _parse_add(self):
+        e = self._parse_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, v = self.next()
+            rhs = self._parse_mul()
+            e = Builtin("$Sum" if v == "+" else "$Sub", (e, rhs))
+        return e
+
+    def _parse_mul(self):
+        e = self._parse_unary()
+        while self.peek() in (("punct", "*"), ("op", "/")):
+            _, v = self.next()
+            rhs = self._parse_unary()
+            e = Builtin("$Mul" if v == "*" else "$Div", (e, rhs))
+        return e
+
+    def _parse_unary(self):
+        if self.peek() == ("ident", "not"):
+            self.next()
+            return Builtin("$Not", (self._parse_unary(),))
+        if self.peek() == ("op", "-"):
+            self.next()
+            inner = self._parse_unary()
+            if (
+                isinstance(inner, Lit)
+                and isinstance(inner.value, (int, float))
+                and not isinstance(inner.value, bool)
+            ):
+                return Lit(-inner.value)
+            return Builtin("$Sub", (Lit(0), inner))
+        return self._parse_postfix()
+
+    def _parse_postfix(self):
+        e = self._parse_primary()
+        while self.peek() == ("op", "?"):
+            self.next()
+            e = Builtin("$Not", (Builtin("$IsNil", (e,)),))
+        return e
+
+    # primary := '(' expr ')' | literal | array | builtin | call | path
+    def _parse_primary(self):
+        k, v = self.peek()
+        if k == "punct" and v == "(":  # grouping
+            self.next()
+            e = self.parse_expr()
+            self.expect(value=")")
+            return e
+        if k == "op" and v == "$":  # `$` = the element inside a [where] filter
+            self.next()
+            return self._parse_path("$")
         if k == "string":
             self.next()
             return Lit(_unescape(v[1:-1]))
@@ -659,30 +786,65 @@ class _Parser:
                         args.append(self.parse_expr())
                 self.expect(value=")")
                 return Call(v, tuple(args))
-            parts = []
-            while self.peek()[1] in (".", "["):
-                if self.peek()[1] == ".":
-                    self.next()
-                    parts.append(self.expect("ident"))
-                else:
-                    self.next()
-                    if self.peek()[1] == "]":  # `path[]` — iteration marker
-                        self.next()
-                        return Iterate(Path(v, tuple(parts)))
-                    if self.peek()[1] == "*":  # `path[*]` — wildcard segment
-                        self.next()
-                        self.expect(value="]")
-                        parts.append("*")
-                        continue
-                    num = self.expect("number")  # [n] — array element access
-                    if "." in num or num.startswith("-"):
-                        raise MappingConfigError(
-                            f"array index must be a non-negative integer, got {num!r}"
-                        )
-                    parts.append(int(num))
-                    self.expect(value="]")
-            return Path(v, tuple(parts))
+            return self._parse_path(v)
         raise MappingConfigError(f"unexpected token {v!r} in expression")
+
+    def _parse_path(self, varname: str):
+        """Navigation segments after a bound variable: ``.field``, ``[n]``,
+        ``[*]`` wildcards, a terminating ``[]`` iteration marker, or
+        ``[where pred]`` filters (which end the path — chainable, but bind
+        to a var to navigate into the filtered result)."""
+        parts: list = []
+        while self.peek()[1] in (".", "["):
+            if self.peek()[1] == ".":
+                self.next()
+                parts.append(self.expect("ident"))
+                continue
+            self.next()  # '['
+            nk, nv = self.peek()
+            if nv == "]":  # `path[]` — iteration marker
+                self.next()
+                return Iterate(Path(varname, tuple(parts)))
+            if nv == "*":  # `path[*]` — wildcard segment
+                self.next()
+                self.expect(value="]")
+                parts.append("*")
+                continue
+            if (nk, nv) == ("ident", "where"):  # `path[where pred]` filter
+                self.next()
+                return self._parse_filters(Path(varname, tuple(parts)))
+            num = self.expect("number")  # [n] — array element access
+            if "." in num:
+                raise MappingConfigError(
+                    f"array index must be a non-negative integer, got {num!r}"
+                )
+            parts.append(int(num))
+            self.expect(value="]")
+        return Path(varname, tuple(parts))
+
+    def _parse_filters(self, base):
+        """One or more chained ``[where pred]`` filters ('where' of the
+        first already consumed). ``$`` is bound to the element inside each
+        predicate. A filter ends the path."""
+        while True:
+            pred = self.parse_expr()
+            self.expect(value="]")
+            base = Where(base, pred)
+            if self.peek()[1] != "[":
+                break
+            self.next()
+            if self.peek() != ("ident", "where"):
+                raise MappingConfigError(
+                    "a [where] filter ends the path — bind the result to a "
+                    "var to navigate or index into it"
+                )
+            self.next()
+        if self.peek()[1] == ".":
+            raise MappingConfigError(
+                "a [where] filter ends the path — bind the result to a var "
+                "to navigate or index into it"
+            )
+        return base
 
 
 def _desugar_if(cond, then_fields, else_fields):

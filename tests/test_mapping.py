@@ -1176,3 +1176,134 @@ def test_duplicate_target_without_bang_still_fails():
         compile_mapping("out O: P(root);\ndef P(i) { a: 1; a: 2; }")
     with pytest.raises(MappingConfigError, match="cannot combine"):
         compile_mapping("out O: P(root);\ndef P(i) { a[]!: 1; }")
+
+
+# ------------------------------------------------------------ infix operators
+INFIX_CFG = """
+out O: P(root);
+def P(i) {
+  hot: i.t = "error" and i.k > 50;
+  cool: i.k <= 10 or i.t ~= "error";
+  score: (i.k + 1) * 2 - i.k / 4;
+  has_tool: i.tool?;
+  no_tool: not i.tool?;
+  neg: -3;
+  negk: -i.k;
+  deep: not (i.k < 5 and i.t = "view");
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_infix_operators_golden(spark, backend):
+    """Whistle infix surface: comparisons/logic/arithmetic/existence all
+    desugar at parse time to the builtin library, so both backends produce
+    byte-identical output and the column backend stays codegen."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"t":"error","k":80,"tool":"search"}'),
+            ("b", '{"t":"view","k":4}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, INFIX_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"hot":true,"cool":false,"score":142,"has_tool":true,'
+        '"no_tool":false,"neg":-3,"negk":-80,"deep":true}]}'
+    )
+    assert oks["b"] == (
+        '{"O":[{"hot":false,"cool":true,"score":9,"has_tool":false,'
+        '"no_tool":true,"neg":-3,"negk":-4,"deep":false}]}'
+    )
+    assert compile_mapping(INFIX_CFG).supports_columns() is True
+
+
+def test_infix_desugar_equivalence():
+    """Each infix operator parses to exactly the Builtin tree its explicit
+    form parses to — the desugar IS the spec, so backends need no changes."""
+    from healthcare_data_harmonization_dataflow_spark.functions.mapping_lang import (
+        parse_mapping_config,
+    )
+
+    pairs = [
+        ('a.x = a.y', '$Eq(a.x, a.y)'),
+        ('a.x ~= a.y', '$NEq(a.x, a.y)'),
+        ('a.x > 1 and a.y < 2', '$And($Gt(a.x, 1), $Lt(a.y, 2))'),
+        ('a.x >= 1 or a.y <= 2 or a.z?',
+         '$Or($Gte(a.x, 1), $Lte(a.y, 2), $Not($IsNil(a.z)))'),
+        ('a.x + 1 - a.y', '$Sub($Sum(a.x, 1), a.y)'),
+        ('a.x * 2 / a.y', '$Div($Mul(a.x, 2), a.y)'),
+        ('a.x + a.y * 2', '$Sum(a.x, $Mul(a.y, 2))'),
+        ('not a.x', '$Not(a.x)'),
+        ('-a.x', '$Sub(0, a.x)'),
+    ]
+    for infix, explicit in pairs:
+        got = parse_mapping_config(f"out O: P(root);\ndef P(a) {{ f: {infix}; }}")
+        want = parse_mapping_config(f"out O: P(root);\ndef P(a) {{ f: {explicit}; }}")
+        assert got.projectors["P"].fields == want.projectors["P"].fields, infix
+
+
+def test_infix_compile_errors():
+    with pytest.raises(MappingConfigError, match="do not chain"):
+        compile_mapping("out O: P(root);\ndef P(a) { f: a.x = a.y = a.z; }")
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out O: P(root);\ndef P(a) { f: a.x + ; }")
+    with pytest.raises(MappingConfigError):
+        compile_mapping("out O: P(root);\ndef P(a) { f: (a.x; }")
+
+
+# -------------------------------------------------------------- where filters
+WHERE_CFG = """
+out O: P(root);
+def P(i) {
+  var hits: i.items[where $.k > 2 and $.t = "x"];
+  hits: hits;
+  names: hits[*].name;
+  chained: i.items[where $.k > 1][where $.k < 9];
+  nilbase: i.num[where $.k = 1];
+  outer: i.items[where $.k = i.want];
+  empty: i.items[where $.k > 100];
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_where_filters_golden(spark, backend):
+    """`path[where pred]` array filters: `$` binds the element, outer
+    bindings stay visible, filters chain, a missing/non-array base is nil,
+    and a var-bound filter result supports wildcard navigation. The column
+    backend compiles all of it to F.filter/F.transform — stays codegen."""
+    df = spark.createDataFrame(
+        [
+            (
+                "a",
+                '{"items":[{"k":1,"t":"x","name":"a"},{"k":3,"t":"x","name":"b"},'
+                '{"k":5,"t":"y","name":"c"},{"k":9,"t":"x"}],"num":7,"want":5}',
+            ),
+            ("b", '{"items":[],"num":1,"want":1}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, WHERE_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"hits":[{"k":3,"name":"b","t":"x"},{"k":9,"t":"x"}],'
+        '"names":["b"],'
+        '"chained":[{"k":3,"name":"b","t":"x"},{"k":5,"name":"c","t":"y"}],'
+        '"outer":[{"k":5,"name":"c","t":"y"}],'
+        '"empty":[]}]}'
+    )
+    assert oks["b"] == '{"O":[{"hits":[],"names":[],"chained":[],"outer":[],"empty":[]}]}'
+    assert compile_mapping(WHERE_CFG).supports_columns() is True
+
+
+def test_where_filter_validation():
+    # `$` is only bound inside a [where] predicate
+    with pytest.raises(MappingConfigError, match="unbound variable '\\$'"):
+        compile_mapping("out O: P(root);\ndef P(i) { x: $.k; }")
+    # a filter ends the path
+    with pytest.raises(MappingConfigError, match="ends the path"):
+        compile_mapping("out O: P(root);\ndef P(i) { x: i.a[where $.k = 1].b; }")
+    with pytest.raises(MappingConfigError, match="ends the path"):
+        compile_mapping("out O: P(root);\ndef P(i) { x: i.a[where $.k = 1][0]; }")

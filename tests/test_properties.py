@@ -237,6 +237,11 @@ def P(input) {
   ub: $UnionBy(input.items, "s");
   ow: "base";
   ow!: $If($Eq(input.kind, "a"), "overwritten");
+  ifx: input.num > 0 and input.num < 100;
+  ifx2: input.kind = "a" or input.num ~= 7;
+  ifx3: (input.num + 1) * 2 - input.num / 2;
+  ifx4: input.items? and not input.missing?;
+  ifx5: -input.num;
 }
 def It(e) {
   u: $ToUpper(e.s);
