@@ -347,6 +347,7 @@ def P(i) {
   err_ks: errs[*].k;
   big_ts: big[*].t;
   errors: errs;
+  summary: $StrCat("errs=", $ToString(dest.n_err));
 }
 """
 
@@ -1002,7 +1003,8 @@ def oracle_sql() -> dict[str, str]:
                    concat('{"Output":[{"n_err":', n_err,
                           ',"err_ks":[', err_ks,
                           '],"big_ts":[', big_ts,
-                          '],"errors":[', errors, ']}]}') AS output
+                          '],"errors":[', errors,
+                          '],"summary":"errs=', n_err, '"}]}') AS output
             FROM f
         """,
         "mapping_toplist": """

@@ -442,7 +442,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 penv["__clock__"] = env.get("__clock__")
                 for vn, vx in proj.vars:
                     penv[vn] = _compile_expr(cfg, vx, penv)
-                return _render(_compile_tree(cfg, tree, penv))
+                return _render(_compile_tree(cfg, tree, penv, is_root=True))
 
             return _ArrCol(F.transform(arr, body), "struct")
         args = [_compile_expr(cfg, a, env) for a in expr.args]
@@ -450,7 +450,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         penv["__clock__"] = env.get("__clock__")
         for vn, vx in proj.vars:  # projector-local var bindings, in order
             penv[vn] = _compile_expr(cfg, vx, penv)
-        return _compile_tree(cfg, nest_fields(proj.fields), penv)
+        return _compile_tree(cfg, nest_fields(proj.fields), penv, is_root=True)
     if isinstance(expr, Builtin):
         if expr.name == "$ListOf":
             # exactly the `[a, b]` literal semantics
@@ -891,8 +891,17 @@ class _StrArr:
         self.cols = cols
 
 
-def _compile_tree(cfg: MappingConfig, tree: dict, env: dict[str, Any]) -> "_StructVal":
+def _compile_tree(
+    cfg: MappingConfig, tree: dict, env: dict[str, Any], is_root: bool = False
+) -> "_StructVal":
     out: dict = {}
+    if is_root:
+        # `dest` = the projector's output under construction. The dict is
+        # shared by reference, so a field expression compiled later sees
+        # exactly the fields declared before it (reads of later/self fields
+        # are missing — matching the python backend's insertion-order dict).
+        env = dict(env)
+        env["dest"] = _StructVal(out)
     for name, (kind, val) in tree.items():
         if kind == "node":
             out[name] = ("node", _compile_tree(cfg, val, env).tree)
@@ -1077,14 +1086,14 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                             penv[p] = fixed[i]
                     for vn, vx in proj.vars:
                         penv[vn] = eval_expr(vx, penv)
-                    out_list.append(eval_tree(trees[expr.name], penv))
+                    out_list.append(eval_tree(trees[expr.name], penv, is_root=True))
                 return out_list
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
             penv["__clock__"] = env.get("__clock__")
             for vn, vx in proj.vars:  # projector-local vars, in order
                 penv[vn] = eval_expr(vx, penv)
-            return eval_tree(trees[expr.name], penv)
+            return eval_tree(trees[expr.name], penv, is_root=True)
         if isinstance(expr, Builtin):
             if expr.name == "$ListOf":
                 return eval_expr(Arr(tuple(expr.args)), env)
@@ -1365,8 +1374,12 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
             ]
         raise MappingConfigError(f"cannot evaluate {expr!r}")
 
-    def eval_tree(tree: dict, env) -> dict:
+    def eval_tree(tree: dict, env, is_root: bool = False) -> dict:
         out: dict = {}
+        if is_root:
+            # `dest` = this projector instance's output under construction
+            # (shared by reference: later fields see earlier writes only)
+            env = {**env, "dest": out}
         for name, (kind, val) in tree.items():
             if kind == "node":
                 out[name] = eval_tree(val, env)

@@ -42,6 +42,10 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   postfix ``expr?`` (existence, = ``$Not($IsNil(expr))``). ``+`` is the
   numeric ``$Sum`` (use ``$StrCat`` for strings); ``and``/``or``/``not``
   are reserved words in expression position
+* ``dest`` reads — inside a projector body, ``dest.path`` reads a field the
+  SAME projector instance has already written (declaration order; reads of
+  later/self fields are nil; bare ``dest`` is rejected — the output is
+  still being built). ``dest`` is a reserved name for params/vars
 * array filters ``path[where pred]`` — keep the elements of the array at
   ``path`` for which ``pred`` (with ``$`` bound to the element, e.g.
   ``i.items[where $.k > 2]``) is JSON true; missing/non-boolean predicates
@@ -345,11 +349,12 @@ class MappingConfig:
                 + [p for pr in self.projectors.values() for p in pr.params]
                 + [n for pr in self.projectors.values() for n, _ in pr.vars]
             )
-            if n.startswith("__")
+            if n.startswith("__") or n == "dest"
         ]
         if reserved:
             raise MappingConfigError(
-                f"names starting with '__' are reserved: {sorted(set(reserved))}"
+                "names starting with '__' and the keyword 'dest' are "
+                f"reserved: {sorted(set(reserved))}"
             )
         bound = ["root"]
         for name, vexpr in self.vars:
@@ -369,6 +374,11 @@ class MappingConfig:
                 "iteration (path[]) is only valid as a projector-call argument"
             )
         if isinstance(expr, Path):
+            if expr.var == "dest" and not expr.parts:
+                raise MappingConfigError(
+                    "bare 'dest' is not supported — read a written field "
+                    "(dest.path); the whole output is still being built"
+                )
             if expr.var not in bound:
                 raise MappingConfigError(f"unbound variable '{expr.var}'")
             return
@@ -397,8 +407,11 @@ class MappingConfig:
                         f"in projector '{expr.name}'"
                     )
                 pbound.append(vname)
+            # field expressions additionally see `dest` (the output under
+            # construction); var bindings evaluate before any write, so
+            # `dest` is NOT bound there
             for _, fexpr, *_flags in proj.fields:
-                self._check(fexpr, bound=tuple(pbound), _stack=stack)
+                self._check(fexpr, bound=tuple(pbound) + ("dest",), _stack=stack)
             return
         if isinstance(expr, Builtin):
             spec = BUILTINS.get(expr.name)

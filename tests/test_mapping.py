@@ -1307,3 +1307,53 @@ def test_where_filter_validation():
         compile_mapping("out O: P(root);\ndef P(i) { x: i.a[where $.k = 1].b; }")
     with pytest.raises(MappingConfigError, match="ends the path"):
         compile_mapping("out O: P(root);\ndef P(i) { x: i.a[where $.k = 1][0]; }")
+
+
+# ----------------------------------------------------------------- dest reads
+DEST_CFG = """
+out O: P(root);
+def P(i) {
+  first: i.a;
+  second: dest.first + 1;
+  meta.tag: $StrCat("t-", i.name);
+  echo: dest.meta.tag;
+  future: dest.later;
+  later: 9;
+  self_read: dest.self_read;
+  cond: $If(dest.first = 5, "five", "other");
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_dest_reads_golden(spark, backend):
+    """`dest.path` reads a field the same projector instance already wrote
+    (declaration order). Reads of later or self fields are nil; nested
+    writes are visible once complete. Both backends byte-identical; the
+    column backend resolves dest statically — still codegen."""
+    df = spark.createDataFrame(
+        [("a", '{"a":5,"name":"x"}'), ("b", '{"name":"y"}')],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, DEST_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"first":5,"second":6,"meta":{"tag":"t-x"},"echo":"t-x",'
+        '"later":9,"cond":"five"}]}'
+    )
+    # missing i.a: first omitted -> dest.first nil -> second omitted
+    assert oks["b"] == (
+        '{"O":[{"meta":{"tag":"t-y"},"echo":"t-y","later":9,"cond":"other"}]}'
+    )
+    assert compile_mapping(DEST_CFG).supports_columns() is True
+
+
+def test_dest_validation():
+    with pytest.raises(MappingConfigError, match="bare 'dest'"):
+        compile_mapping("out O: P(root);\ndef P(i) { x: dest; }")
+    with pytest.raises(MappingConfigError, match="reserved"):
+        compile_mapping("out O: P(dest);\ndef P(dest) { x: dest.a; }")
+    with pytest.raises(MappingConfigError, match="unbound"):
+        compile_mapping("out O: dest.x;")
+    with pytest.raises(MappingConfigError, match="unbound"):
+        compile_mapping("out O: P(root);\ndef P(i) { var v: dest.a; x: v; }")
