@@ -266,6 +266,37 @@ def q_mapping_infix(spark, sf_dir):
     )
 
 
+REQUIRED_Q_CFG = """
+out Output: P(root);
+def P(i) {
+  required tag: i.tag;
+  t: i.t;
+}
+"""
+
+
+def q_mapping_required(spark, sf_dir):
+    """`required` field dead-lettering over the events table: 1 row in 3
+    carries the tag, the rest dead-letter with the required-miss message.
+    Both branches of the ok/err union in one result; the whole split is
+    row-level NULL conditions inside the codegen column backend."""
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.when(F.col("event_id") % 3 == 0, F.lit("x")).alias("tag"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("data"),
+    )
+    res = apply_mapping(inp, REQUIRED_Q_CFG)
+    return res.select(
+        "id",
+        F.when(F.col("ok").isNotNull(), F.lit("ok")).otherwise(F.lit("err")).alias("status"),
+        F.coalesce(F.col("ok"), F.col("err.error_message")).alias("payload"),
+    )
+
+
 LOGIC_Q_CFG = """
 out Output: P(root);
 def P(i) {
@@ -848,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_logic": q_mapping_logic,
         "mapping_infix": q_mapping_infix,
         "mapping_where": q_mapping_where,
+        "mapping_required": q_mapping_required,
         "mapping_toplist": q_mapping_toplist,
         "mapping_deadletter": q_mapping_deadletter,
         "fhir_bundle_wrap": q_fhir_bundle_wrap,
@@ -979,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END,
                           ',"delta":', event_id - k, '}]}') AS output
             FROM ev
+        """,
+        "mapping_required": """
+            SELECT concat('e', event_id) AS id,
+                   CASE WHEN event_id % 3 = 0 THEN 'ok' ELSE 'err' END AS status,
+                   CASE WHEN event_id % 3 = 0
+                        THEN concat('{"Output":[{"tag":"x","t":"', event_type, '"}]}')
+                        ELSE 'required field ''tag'' is nil' END AS payload
+            FROM events
         """,
         "mapping_where": """
             WITH r AS (

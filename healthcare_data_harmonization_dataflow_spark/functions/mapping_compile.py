@@ -85,7 +85,18 @@ class CompiledMapping:
         parsing is the dominant per-row cost; see operators/mapping_op.py).
         ``clock`` is the injected processing-time instant $CurrentTime
         renders (ISO-8601 string); None = Spark's query-constant now."""
-        env: dict[str, Any] = {"root": root, "__clock__": clock}
+        return self.output_with_required_from_variant(root, clock)[0]
+
+    def output_with_required_from_variant(
+        self, root: Column, clock: str | None = None
+    ) -> "tuple[Column, Column]":
+        """(output JSON Column, required-miss Column). The second column is
+        the dotted path of the FIRST declaration-ordered ``required`` field
+        whose value is nil for the row (NULL when all present) — the caller
+        routes such rows to the dead-letter branch instead of emitting the
+        output. Both columns are plain expressions over the same root; the
+        whole check stays inside whole-stage codegen."""
+        env: dict[str, Any] = {"root": root, "__clock__": clock, "__req__": []}
         for name, vexpr in self.config.vars:  # top-level var bindings
             env[name] = _compile_expr(self.config, vexpr, env)
         targets: dict[str, list[Column]] = {}
@@ -100,7 +111,13 @@ class CompiledMapping:
             fields.extend(
                 [F.lit(tgt), F.filter(F.array(*items), lambda x: x.isNotNull())]
             )
-        return F.to_json(F.named_struct(*fields))
+        out = F.to_json(F.named_struct(*fields))
+        miss = F.lit(None).cast("string")
+        if env["__req__"]:
+            miss = F.coalesce(
+                *[F.when(cond, F.lit(p)) for p, cond in env["__req__"]], miss
+            )
+        return out, miss
 
     # ---------------------------------------------------------- python backend
     def transform(self, data: str, clock: str | None = None) -> str:
@@ -403,6 +420,8 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         def _keep(e):
             penv = dict(env)
             penv["$"] = e
+            # required-miss conditions cannot escape the filter lambda
+            penv["__req__"] = None
             # strict boolean: NULL (missing/non-boolean) drops the element
             return _cond_col(_compile_expr(cfg, expr.pred, penv))
 
@@ -440,17 +459,42 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     for j, p in enumerate(proj.params)
                 }
                 penv["__clock__"] = env.get("__clock__")
+                # a required-miss condition built here would reference the
+                # lambda's element variable and cannot escape to row level
+                penv["__req__"] = None
                 for vn, vx in proj.vars:
                     penv[vn] = _compile_expr(cfg, vx, penv)
                 return _render(_compile_tree(cfg, tree, penv, is_root=True))
 
+            if proj.required:
+                raise MappingConfigError(
+                    "column backend: required fields inside an iterated "
+                    "projector cannot surface row-level errors"
+                )
             return _ArrCol(F.transform(arr, body), "struct")
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         penv = dict(zip(proj.params, args))
         penv["__clock__"] = env.get("__clock__")
+        penv["__req__"] = env.get("__req__")
         for vn, vx in proj.vars:  # projector-local var bindings, in order
             penv[vn] = _compile_expr(cfg, vx, penv)
-        return _compile_tree(cfg, nest_fields(proj.fields), penv, is_root=True)
+        result = _compile_tree(cfg, nest_fields(proj.fields), penv, is_root=True)
+        if proj.required:
+            reqs = env.get("__req__")
+            if reqs is None:
+                raise MappingConfigError(
+                    "column backend: required fields cannot be checked "
+                    "inside iteration/filter lambdas"
+                )
+            for rpath in proj.required:
+                cur = result.tree
+                for seg in rpath[:-1]:
+                    cur = cur[seg][1]  # declared, so present; 'node' subtree
+                _, val = cur[rpath[-1]]
+                col = val if isinstance(val, Column) else getattr(val, "col", None)
+                if col is not None:  # _StructVal/_StrArr leaves: never nil
+                    reqs.append((".".join(map(str, rpath)), col.isNull()))
+        return result
     if isinstance(expr, Builtin):
         if expr.name == "$ListOf":
             # exactly the `[a, b]` literal semantics
@@ -1003,6 +1047,22 @@ def _scalar_str(v):
     return json_canon.dumps(v)
 
 
+def _check_required(proj, res: dict) -> None:
+    """Dead-letter the record when a ``required`` target is nil: a missing
+    key (the field was omitted) raises RecoverableMappingError with the
+    same message the column backend's miss column produces. A written JSON
+    null is PRESENT — only nil triggers."""
+    for rpath in proj.required:
+        cur = res
+        for seg in rpath:
+            if isinstance(cur, dict) and seg in cur:
+                cur = cur[seg]
+            else:
+                raise RecoverableMappingError(
+                    f"required field '{'.'.join(map(str, rpath))}' is nil"
+                )
+
+
 def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
     import hashlib
 
@@ -1086,14 +1146,18 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                             penv[p] = fixed[i]
                     for vn, vx in proj.vars:
                         penv[vn] = eval_expr(vx, penv)
-                    out_list.append(eval_tree(trees[expr.name], penv, is_root=True))
+                    res = eval_tree(trees[expr.name], penv, is_root=True)
+                    _check_required(proj, res)
+                    out_list.append(res)
                 return out_list
             args = [eval_expr(a, env) for a in expr.args]
             penv = dict(zip(proj.params, args))
             penv["__clock__"] = env.get("__clock__")
             for vn, vx in proj.vars:  # projector-local vars, in order
                 penv[vn] = eval_expr(vx, penv)
-            return eval_tree(trees[expr.name], penv, is_root=True)
+            res = eval_tree(trees[expr.name], penv, is_root=True)
+            _check_required(proj, res)
+            return res
         if isinstance(expr, Builtin):
             if expr.name == "$ListOf":
                 return eval_expr(Arr(tuple(expr.args)), env)

@@ -42,6 +42,12 @@ We implement the subset those tests + the e2e corpus exercise, from scratch:
   postfix ``expr?`` (existence, = ``$Not($IsNil(expr))``). ``+`` is the
   numeric ``$Sum`` (use ``$StrCat`` for strings); ``and``/``or``/``not``
   are reserved words in expression position
+* ``required path: expr;`` fields — a nil (MISSING) value dead-letters the
+  whole record as a RecoverableMappingError (the reference's unmappable-
+  record semantics); a written JSON null counts as present. Not allowed on
+  append/overwrite targets or inside if-blocks. The column backend checks
+  required fields with row-level NULL conditions (still codegen) except
+  inside iteration/filter lambdas, where the config falls back to pandas
 * ``dest`` reads — inside a projector body, ``dest.path`` reads a field the
   SAME projector instance has already written (declaration order; reads of
   later/self fields are nil; bare ``dest`` is rejected — the output is
@@ -268,6 +274,11 @@ class Projector:
     # ordered ``var name: expr;`` bindings, evaluated before the fields;
     # each may reference the params and earlier vars
     vars: tuple[tuple[str, object], ...] = ()
+    # target paths declared ``required path: expr;`` — a nil value at any of
+    # these dead-letters the whole record (RecoverableMappingError), the
+    # reference's unmappable-record semantics. A written JSON null counts as
+    # present; only a MISSING value triggers.
+    required: tuple[tuple[str, ...], ...] = ()
 
 
 def nest_fields(fields) -> dict:
@@ -554,10 +565,10 @@ class _Parser:
                     params.append(self.expect("ident"))
                 self.expect(value=")")
                 self.expect(value="{")
-                fields, pvars = self._parse_body(allow_vars=True)
+                fields, pvars, reqs = self._parse_body(allow_vars=True)
                 self.expect(value="}")
                 cfg.projectors[name] = Projector(
-                    name, tuple(params), tuple(fields), tuple(pvars)
+                    name, tuple(params), tuple(fields), tuple(pvars), tuple(reqs)
                 )
             elif k == "ident" and v == "root_mapping":
                 self.next()
@@ -569,10 +580,12 @@ class _Parser:
 
     def _parse_body(self, allow_vars: bool):
         """Projector-body statements up to (not consuming) the closing '}':
-        optional leading ``var`` bindings, then field mappings and ``if``
-        blocks (desugared in place to conditional fields)."""
+        optional leading ``var`` bindings, then field mappings (optionally
+        ``required``-prefixed) and ``if`` blocks (desugared in place to
+        conditional fields)."""
         fields: list = []
         pvars: list = []
+        reqs: list = []
         while self.peek()[1] != "}":
             k, v = self.peek()
             if k == "eof":
@@ -590,9 +603,32 @@ class _Parser:
                 pvars.append((vname, vexpr))
             elif k == "ident" and v == "if":
                 fields.extend(self._parse_if_block())
+            elif (
+                k == "ident"
+                and v == "required"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "ident"
+            ):
+                # `required path: expr;` — keyword only when followed by a
+                # field name (a field literally named `required` still works)
+                self.next()
+                fpath, fexpr, append, overwrite = self._parse_field()
+                if append or overwrite:
+                    raise MappingConfigError(
+                        "'required' cannot combine with append ('[]') or "
+                        "overwrite ('!') targets"
+                    )
+                if not allow_vars:
+                    # inside an if-block body: conditionally-required fields
+                    # have no coherent dead-letter semantics
+                    raise MappingConfigError(
+                        "'required' is not allowed inside if/else blocks"
+                    )
+                fields.append((fpath, fexpr, append, overwrite))
+                reqs.append(fpath)
             else:
                 fields.append(self._parse_field())
-        return fields, pvars
+        return fields, pvars, reqs
 
     def _parse_field(self):
         fpath = [self.expect("ident")]
@@ -621,13 +657,13 @@ class _Parser:
         self.expect(value="if")
         cond = self.parse_expr()
         self.expect(value="{")
-        then_fields, _ = self._parse_body(allow_vars=False)
+        then_fields, _, _ = self._parse_body(allow_vars=False)
         self.expect(value="}")
         else_fields: list = []
         if self.peek() == ("ident", "else"):
             self.next()
             self.expect(value="{")
-            else_fields, _ = self._parse_body(allow_vars=False)
+            else_fields, _, _ = self._parse_body(allow_vars=False)
             self.expect(value="}")
         return _desugar_if(cond, then_fields, else_fields)
 

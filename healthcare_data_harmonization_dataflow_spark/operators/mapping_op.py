@@ -104,17 +104,22 @@ def apply_mapping(
         # (Without this, the ok-condition, ok-output and err-condition each
         # re-parsed the JSON — 3x the dominant per-row cost.)
         parsed = F.try_parse_json(F.col(data_col))
+        out_col, req_miss = mapping.output_with_required_from_variant(
+            F.col("_parsed"), clock
+        )
         out = (
             df.withColumn("_parsed", parsed)
             .withColumn(
                 "ok",
                 F.when(
-                    F.col("_parsed").isNotNull(),
-                    mapping.output_column_from_variant(F.col("_parsed"), clock),
+                    F.col("_parsed").isNotNull() & req_miss.isNull(), out_col
                 ),
             )
             .withColumn(
                 "err",
+                # invalid JSON first (a null root also trips every required
+                # condition); then required-miss — same dead-letter shape,
+                # message matches the python backend's RecoverableMappingError
                 F.when(
                     F.col("_parsed").isNull() | F.col(data_col).isNull(),
                     error_entry(
@@ -122,6 +127,18 @@ def apply_mapping(
                         message=F.concat(
                             F.lit("invalid input JSON: "),
                             F.coalesce(F.col(data_col), F.lit("<null>")),
+                        ),
+                        sources=F.array(F.col(id_col)),
+                        clock=clock,
+                    ),
+                ).when(
+                    req_miss.isNotNull(),
+                    error_entry(
+                        step=step,
+                        message=F.concat(
+                            F.lit("required field '"),
+                            req_miss,
+                            F.lit("' is nil"),
                         ),
                         sources=F.array(F.col(id_col)),
                         clock=clock,
@@ -166,11 +183,20 @@ def apply_mapping(
                 # ErrorEnabledDoFn.java:36-45)...
                 oks.append(None)
                 lats.append(None)
+                # a RecoverableMappingError carries the exact data problem
+                # ("invalid input JSON: ..." / "required field '...' is
+                # nil") — keep it verbatim so both backends' dead-letter
+                # messages agree; other exceptions keep the legacy text
+                msg = (
+                    str(e)
+                    if isinstance(e, RecoverableMappingError) and str(e)
+                    else f"invalid input JSON: {data if data is not None else '<null>'}"
+                )
                 errs.append(
                     {
                         "error_resource": None,
                         "stacktrace": traceback.format_exc(),
-                        "error_message": f"invalid input JSON: {data if data is not None else '<null>'}",
+                        "error_message": msg,
                         "timestamp": ts,
                         "step": step,
                         "sources": [i],

@@ -1357,3 +1357,71 @@ def test_dest_validation():
         compile_mapping("out O: dest.x;")
     with pytest.raises(MappingConfigError, match="unbound"):
         compile_mapping("out O: P(root);\ndef P(i) { var v: dest.a; x: v; }")
+
+
+# ------------------------------------------------------------ required fields
+REQUIRED_CFG = """
+out O: P(root);
+def P(i) {
+  required name: i.n;
+  required meta.tag: i.t;
+  opt: i.o;
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_required_fields_golden(spark, backend):
+    """`required path: expr;` dead-letters the record when the value is nil
+    (reference: unmappable record -> ErrorEntry). A written JSON null is
+    PRESENT. Both backends produce the same ok/err split and the same
+    error message; the column backend checks with row-level NULL conditions
+    inside codegen."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"n":"x","t":1,"o":null}'),
+            ("b", '{"t":1}'),            # name missing -> dead-letter
+            ("c", '{"n":null}'),          # null name present; t missing
+            ("d", "{"),                  # invalid JSON wins over required
+        ],
+        "id string, data string",
+    )
+    res = apply_mapping(df, REQUIRED_CFG, backend=backend, clock=CLOCK)
+    oks = {r["id"]: r["ok"] for r in ok_rows(res).collect()}
+    assert oks == {"a": '{"O":[{"name":"x","meta":{"tag":1},"opt":null}]}'}
+    errs = {r["id"]: r["err"]["error_message"] for r in err_rows(res).collect()}
+    assert errs == {
+        "b": "required field 'name' is nil",
+        "c": "required field 'meta.tag' is nil",
+        "d": "invalid input JSON: {",
+    }
+    assert compile_mapping(REQUIRED_CFG).supports_columns() is True
+
+
+REQUIRED_ITER_CFG = """
+out O: P(root);
+def P(i) {
+  rows: E(i.items[]);
+}
+def E(e) {
+  required k: e.k;
+}
+"""
+
+
+def test_required_inside_iteration_falls_back(spark):
+    """Required fields inside an iterated projector cannot surface row-level
+    NULL conditions from a transform lambda — the config falls back to the
+    pandas backend (auto) and still dead-letters the whole record when any
+    element misses the field."""
+    eng = compile_mapping(REQUIRED_ITER_CFG)
+    assert eng.supports_columns() is False
+    df = spark.createDataFrame(
+        [("a", '{"items":[{"k":1},{"k":2}]}'), ("b", '{"items":[{"k":1},{}]}')],
+        "id string, data string",
+    )
+    res = apply_mapping(df, REQUIRED_ITER_CFG, clock=CLOCK)  # backend=auto
+    oks = {r["id"]: r["ok"] for r in ok_rows(res).collect()}
+    assert oks == {"a": '{"O":[{"rows":[{"k":1},{"k":2}]}]}'}
+    errs = {r["id"]: r["err"]["error_message"] for r in err_rows(res).collect()}
+    assert errs == {"b": "required field 'k' is nil"}
