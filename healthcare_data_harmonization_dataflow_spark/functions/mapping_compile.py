@@ -430,32 +430,33 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         proj = cfg.projectors[expr.name]
         iters = [i for i, a in enumerate(expr.args) if isinstance(a, Iterate)]
         if iters:
-            if len(iters) > 1:
-                # zip-iteration over 2+ arrays: pandas backend territory
+            if len(iters) > 2:
+                # zip-iteration over 3+ arrays: pandas backend territory
+                # (zip_with is binary; nesting it needs intermediate structs)
                 raise MappingConfigError(
-                    "column backend: at most one iterated argument per call"
+                    "column backend: at most two iterated arguments per call"
                 )
-            it = iters[0]
-            src = _compile_expr(cfg, expr.args[it].path, env)
-            if not isinstance(src, Column):
-                raise MappingConfigError(
-                    "column backend: iterated source must be a data value"
-                )
-            # variant -> array<variant>: NULL for missing/non-array sources
-            # (matching the python backend's _MISSING), then the projector
-            # body is applied INSIDE F.transform — the whole iteration stays
-            # in whole-stage codegen, one lambda per element, no explode
-            arr = F.try_variant_get(src, "$", "array<variant>")
+            srcs = {}
+            for it in iters:
+                src = _compile_expr(cfg, expr.args[it].path, env)
+                if not isinstance(src, Column):
+                    raise MappingConfigError(
+                        "column backend: iterated source must be a data value"
+                    )
+                # variant -> array<variant>: NULL for missing/non-array
+                # sources (matching the python backend's _MISSING)
+                srcs[it] = F.try_variant_get(src, "$", "array<variant>")
             fixed = {
                 j: _compile_expr(cfg, a, env)
                 for j, a in enumerate(expr.args)
-                if j != it
+                if j not in iters
             }
             tree = nest_fields(proj.fields)
 
-            def body(e):
+            def body(*elems):
+                by_iter = dict(zip(iters, elems))
                 penv = {
-                    p: (e if j == it else fixed[j])
+                    p: by_iter.get(j, fixed.get(j))
                     for j, p in enumerate(proj.params)
                 }
                 penv["__clock__"] = env.get("__clock__")
@@ -471,7 +472,22 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     "column backend: required fields inside an iterated "
                     "projector cannot surface row-level errors"
                 )
-            return _ArrCol(F.transform(arr, body), "struct")
+            if len(iters) == 1:
+                # one array: F.transform — one codegen lambda per element
+                # (PySpark HOFs introspect the lambda signature: fixed arity)
+                return _ArrCol(
+                    F.transform(srcs[iters[0]], lambda e: body(e)), "struct"
+                )
+            # two arrays: F.zip_with zips to the LONGEST (the short side's
+            # elements arrive as SQL NULL -> their fields go missing),
+            # exactly the python backend's pad-with-_MISSING rule; a NULL
+            # (missing/non-array) source nulls the whole result
+            return _ArrCol(
+                F.zip_with(
+                    srcs[iters[0]], srcs[iters[1]], lambda a, b: body(a, b)
+                ),
+                "struct",
+            )
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         penv = dict(zip(proj.params, args))
         penv["__clock__"] = env.get("__clock__")

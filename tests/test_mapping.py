@@ -623,22 +623,34 @@ def test_iteration_validation_and_fallback(spark):
         compile_mapping(
             "out O: P(root);\ndef P(i) { x: $ToUpper(i.items[]); }"
         )
-    # two iterated args: zip semantics — pandas-only (columns falls back)
+    # two iterated args: zip-to-longest semantics — F.zip_with in the
+    # column backend (the short side's NULL elements drop their fields,
+    # matching pandas' pad-with-_MISSING); 3+ arrays stay pandas-only
     zip_cfg = """
 out Output: P(root);
 def P(input) { pairs: Z(input.a[], input.b[]); }
 def Z(x, y) { l: x; r: y; }
 """
     m = compile_mapping(zip_cfg)
-    assert m.supports_columns() is False
+    assert m.supports_columns() is True
     df = spark.createDataFrame(
-        [("a", '{"a":[1,2,3],"b":["x","y"]}')], "id string, data string"
+        [("a", '{"a":[1,2,3],"b":["x","y"]}'), ("b", '{"a":[1],"b":7}')],
+        "id string, data string",
     )
-    res = ok_rows(apply_mapping(df, zip_cfg, clock=CLOCK))
-    # zip to the longest: the short side's missing element omits its field
-    assert res.collect()[0]["ok"] == (
-        '{"Output":[{"pairs":[{"l":1,"r":"x"},{"l":2,"r":"y"},{"l":3}]}]}'
-    )
+    golden = {
+        "a": '{"Output":[{"pairs":[{"l":1,"r":"x"},{"l":2,"r":"y"},{"l":3}]}]}',
+        # non-array zip source: the whole call is missing -> field omitted
+        "b": '{"Output":[{}]}',
+    }
+    for backend in ("columns", "pandas"):
+        res = ok_rows(apply_mapping(df, zip_cfg, backend=backend, clock=CLOCK))
+        assert {r["id"]: r["ok"] for r in res.collect()} == golden, backend
+    three_cfg = """
+out Output: P(root);
+def P(input) { t: Z(input.a[], input.b[], input.c[]); }
+def Z(x, y, z) { v: x; }
+"""
+    assert compile_mapping(three_cfg).supports_columns() is False
 
 
 @pytest.mark.parametrize("backend", ["columns", "pandas"])
