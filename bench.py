@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "mapping_transform",
     "mapping_nested",
     "mapping_iterate",
+    "mapping_where",
+    "mapping_required",
     "fhir_bundle_wrap",
     "hl7v2_harmonize",
     "bundle_assembly",

@@ -516,6 +516,44 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # exactly the `[a, b]` literal semantics
             return _compile_expr(cfg, Arr(tuple(expr.args)), env)
         args = [_compile_expr(cfg, a, env) for a in expr.args]
+        if expr.name == "$MergeJSON":
+            # static deep merge of projector results. Conflicts resolve at
+            # compile time only where runtime types are GUARANTEED: nested
+            # objects (node∧node) recurse; scalar-typed leaves (_StrCol/
+            # _BoolCol) apply the writing-nil-is-a-no-op rule. A variant∧
+            # variant conflict could hold runtime OBJECTS (which the python
+            # backend deep-merges), so it falls back to pandas.
+            def _merge_tree(ta: dict, tb: dict) -> dict:
+                out = dict(ta)
+                for k, (kb, vb) in tb.items():
+                    if k not in out:
+                        out[k] = (kb, vb)
+                        continue
+                    ka, va = out[k]
+                    if ka == "node" and kb == "node":
+                        out[k] = ("node", _merge_tree(va, vb))
+                    elif isinstance(va, _StrCol) and isinstance(vb, _StrCol):
+                        nil_b = F.coalesce(vb.col == "", F.lit(True))
+                        out[k] = ("leaf", _StrCol(F.when(nil_b, va.col).otherwise(vb.col)))
+                    elif isinstance(va, _BoolCol) and isinstance(vb, _BoolCol):
+                        out[k] = ("leaf", _BoolCol(F.coalesce(vb.col, va.col)))
+                    else:
+                        raise MappingConfigError(
+                            "column backend: $MergeJSON conflict at "
+                            f"'{k}' needs nested objects or scalar-typed "
+                            "leaves (runtime objects merge in pandas)"
+                        )
+                return out
+
+            res = args[0]
+            for b in args[1:]:
+                if not (isinstance(res, _StructVal) and isinstance(b, _StructVal)):
+                    raise MappingConfigError(
+                        "column backend: $MergeJSON arguments must be "
+                        "projector results (data-derived merges run in pandas)"
+                    )
+                res = _StructVal(_merge_tree(res.tree, b.tree))
+            return res
         if expr.name == "$ToUpper":
             return _StrCol(F.upper(_str_form(args[0])))
         if expr.name == "$ToLower":
@@ -1219,6 +1257,28 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 if s is _MISSING or not isinstance(pat, str):
                     return False
                 return _re.fullmatch(pat, s) is not None
+            if expr.name == "$MergeJSON":
+
+                def _mj(a, b):
+                    if a is _MISSING:
+                        return b
+                    if b is _MISSING:
+                        return a
+                    if isinstance(a, dict) and isinstance(b, dict):
+                        out = dict(a)  # a's key order, b's new keys appended
+                        for k, v2 in b.items():
+                            out[k] = _mj(out[k], v2) if k in out else v2
+                        return out
+                    if isinstance(a, dict) or isinstance(b, dict):
+                        return b  # shape change replaces outright
+                    if b is None or b == "" or b == []:
+                        return a  # writing nil is a no-op
+                    return b
+
+                res = vals[0]
+                for v in vals[1:]:
+                    res = _mj(res, v)
+                return res
             if expr.name == "$IsNil":
                 v = vals[0]
                 return (

@@ -183,6 +183,15 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     # rendering; desc is the literal "true"/"false"); $UnionBy(arr, k...)
     # dedups objects by the rendering tuple of one or more key fields,
     # keeping first occurrences
+    # deep merge, left to right: object ∧ object merges recursively (left's
+    # key order, right's new keys appended); a shape change (object vs
+    # non-object) replaces outright; leaf over leaf the RIGHT side wins
+    # unless it is nil (the writing-nil-is-a-no-op rule, $IsNil's nil set).
+    # A missing argument is the identity. The column backend merges
+    # projector results statically (node∧node recursion, scalar-typed leaf
+    # conflicts); variant leaf conflicts and data-derived arguments fall
+    # back to pandas, where runtime objects merge recursively.
+    "$MergeJSON": (2, None),
     "$ListOf": (0, None),
     "$Type": (1, 1),
     "$SortAndTakeTop": (3, 3),

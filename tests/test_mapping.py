@@ -1437,3 +1437,60 @@ def test_required_inside_iteration_falls_back(spark):
     assert oks == {"a": '{"O":[{"rows":[{"k":1},{"k":2}]}]}'}
     errs = {r["id"]: r["err"]["error_message"] for r in err_rows(res).collect()}
     assert errs == {"b": "required field 'k' is nil"}
+
+
+# -------------------------------------------------------------------- $MergeJSON
+MERGE_CFG = """
+out O: $MergeJSON(A(root), B(root));
+def A(i) {
+  name: $ToUpper(i.n);
+  meta.a: 1;
+  meta.keep: "x";
+  only_a: true;
+}
+def B(i) {
+  name: $ToUpper(i.n2);
+  meta.b: 2;
+  only_b: "bee";
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_merge_json_golden(spark, backend):
+    """$MergeJSON deep merge: nested objects merge recursively (left key
+    order, right's new keys appended); a leaf conflict takes the right
+    side unless nil (writing-nil-is-a-no-op). The column backend merges
+    the projector trees statically — stays codegen."""
+    df = spark.createDataFrame(
+        [("a", '{"n":"low","n2":"high"}'), ("b", '{"n":"low"}')],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, MERGE_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    want = (
+        '{"O":[{"name":"%s","meta":{"a":1,"keep":"x","b":2},'
+        '"only_a":true,"only_b":"bee"}]}'
+    )
+    assert oks["a"] == want % "HIGH"
+    assert oks["b"] == want % "LOW"  # B.name nil -> A's value survives
+    assert compile_mapping(MERGE_CFG).supports_columns() is True
+
+
+def test_merge_json_runtime_objects_fall_back(spark):
+    """A variant∧variant leaf conflict may hold runtime OBJECTS, which
+    deep-merge — not statically resolvable, so the column backend falls
+    back and pandas merges them recursively."""
+    cfg = """
+out O: $MergeJSON(A(root), B(root));
+def A(i) { m: i.o1; }
+def B(i) { m: i.o2; }
+"""
+    eng = compile_mapping(cfg)
+    assert eng.supports_columns() is False
+    df = spark.createDataFrame(
+        [("a", '{"o1":{"x":1,"z":0},"o2":{"y":2,"z":9}}')],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, clock=CLOCK))
+    assert res.collect()[0]["ok"] == '{"O":[{"m":{"x":1,"z":9,"y":2}}]}'
