@@ -817,15 +817,16 @@ def q_cep_error_burst(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode, REAL since round 3: per doc_id the query builds an
-    actual PPM image (doc_id%3=0) or WAV audio file (doc_id%3=1) with
-    deterministic parameters, and the default decoder parses the container
-    bytes — header magic, LE ints, payload-length checks — via
-    Arrow-batched mapInPandas. 'video' rows (%3=2) carry raw text and hit
-    the documented hash stub (no pure-python video container exists). The
-    oracle rebuilds the same bytes in DuckDB (sha256 + length must match)
-    and derives the expected width/height/frames analytically from doc_id —
-    so a decode that misreads any header byte hash-mismatches."""
+    """Multimodal decode, REAL for all three kinds: per doc_id the query
+    builds an actual PPM image (doc_id%3=0), WAV audio file (%3=1) or AVI
+    video container (%3=2) with deterministic parameters, and the default
+    decoder parses the container bytes — header magic, LE ints,
+    payload-length checks — via Arrow-batched mapInPandas (codec FRAME
+    decode would need ffmpeg; the hash stub remains only for payloads the
+    parsers reject, unit-tested separately). The oracle rebuilds the same
+    bytes in DuckDB (sha256 + length must match) and derives the expected
+    width/height/frames analytically from doc_id — so a decode that
+    misreads any header byte hash-mismatches."""
     from healthcare_data_harmonization_dataflow_spark.operators import (
         multimodal as MM,
     )
@@ -1338,24 +1339,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(CASE doc_id % 3
                 WHEN 0 THEN {MM.PPM_W.format(d='doc_id')}
                 WHEN 1 THEN {MM.WAV_CHANNELS.format(d='doc_id')}
-                ELSE 16 + seed % 64 END AS INT) AS feat_width,
+                ELSE {MM.AVI_W.format(d='doc_id')} END AS INT) AS feat_width,
            CAST(CASE doc_id % 3
                 WHEN 0 THEN {MM.PPM_H.format(d='doc_id')}
                 WHEN 1 THEN 16
-                ELSE 16 + (seed >> 8) % 64 END AS INT) AS feat_height,
+                ELSE {MM.AVI_H.format(d='doc_id')} END AS INT) AS feat_height,
            CAST(CASE doc_id % 3
                 WHEN 0 THEN 1
                 WHEN 1 THEN {MM.WAV_FRAMES.format(d='doc_id')}
-                ELSE 1 + seed % 8 END AS INT) AS frames_sampled
+                ELSE {MM.AVI_FRAMES.format(d='doc_id')} END AS INT) AS frames_sampled
     FROM (
       SELECT doc_id,
              concat('m', CAST(doc_id AS VARCHAR)) AS media_id,
              list_extract(['image','audio','video'],
                           CAST(doc_id % 3 + 1 AS INT)) AS kind,
-             {MM.media_content_sql('duck')} AS content,
-             CAST(concat('0x',
-                  substr(sha256(decode({MM.media_content_sql('duck')})), 1, 8))
-                  AS BIGINT) AS seed
+             {MM.media_content_sql('duck')} AS content
       FROM documents
     )
     """,

@@ -7,10 +7,11 @@ pure-python parser can handle with no external libs:
 
 * WAV (RIFF) — chunk walk, LE header ints: channels, bits, frame count;
 * PPM (P6)  — ASCII header: width, height, payload-length check;
-* BMP       — BITMAPINFOHEADER: width, height.
+* BMP       — BITMAPINFOHEADER: width, height;
+* AVI (RIFF) — LIST hdrl -> avih AVIMAINHEADER: width, height, total
+  frames (container-level; codec FRAME decode still needs ffmpeg).
 
-Kinds with no pure-python container format in this sandbox (video, or any
-payload the parsers reject) fall back to the clearly-marked deterministic
+Payloads the parsers reject fall back to the clearly-marked deterministic
 hash stub — same signature production swaps for PIL/ffmpeg.
 
 Scale notes: media bytes stay in executor memory only for the lifetime of
@@ -139,6 +140,38 @@ def decode_ppm(content: bytes) -> dict:
     }
 
 
+def decode_avi(content: bytes) -> dict:
+    """Real RIFF/AVI parse — the AVIMAINHEADER ('avih') chunk inside
+    LIST hdrl: dwTotalFrames / dwWidth / dwHeight are LE dwords at body
+    offsets 16/32/36. Codec payloads are NOT decoded (that needs ffmpeg);
+    the container header carries the features this pipeline extracts."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        if cid == b"LIST" and content[pos + 8 : pos + 12] == b"hdrl":
+            pos += 12  # descend into the header list
+            continue
+        if cid == b"avih" and size >= 40:
+            body = content[pos + 8 : pos + 8 + size]
+            frames = int.from_bytes(body[16:20], "little")
+            w = int.from_bytes(body[32:36], "little")
+            h = int.from_bytes(body[36:40], "little")
+            if w <= 0 or h <= 0:
+                raise ValueError("bad AVI dimensions")
+            return {
+                "content_sha": hashlib.sha256(content).hexdigest(),
+                "n_bytes": len(content),
+                "feat_width": w,
+                "feat_height": h,
+                "frames_sampled": frames,
+            }
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    raise ValueError("missing avih header")
+
+
 def decode_bmp(content: bytes) -> dict:
     """Real BMP parse — BITMAPINFOHEADER signed LE width/height at offsets
     18/22 (negative height = top-down rows; the magnitude is the height)."""
@@ -158,12 +191,14 @@ def decode_bmp(content: bytes) -> dict:
 
 
 def default_decode(content: bytes, kind: str) -> dict:
-    """Magic-byte sniffing decoder: real parsers for WAV/PPM/BMP, the
-    deterministic hash stub for everything else (video in this sandbox) and
-    for payloads the parsers reject — a real pipeline would dead-letter
-    those via the decode_fn hook instead."""
+    """Magic-byte sniffing decoder: real container parsers for WAV/AVI/PPM/
+    BMP; the deterministic hash stub only for payloads the parsers reject
+    (codec frame decode needs PIL/ffmpeg) — a real pipeline would
+    dead-letter those via the decode_fn hook instead."""
     content = content or b""
     try:
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            return decode_avi(content)
         if content[:4] == b"RIFF":
             return decode_wav(content)
         if content[:2] == b"P6":
@@ -216,6 +251,10 @@ WAV_SRH = "(24 + {d} % 8)"  # sample_rate / 256
 WAV_FRAMES = "(10 + {d} % 13)"
 PPM_W = "(4 + {d} % 29)"
 PPM_H = "(3 + {d} % 13)"
+# AVI params: single varying LE byte each, all bytes < 0x80 (UTF-8-safe)
+AVI_W = "(16 + {d} % 100)"
+AVI_H = "(12 + {d} % 75)"
+AVI_FRAMES = "(10 + {d} % 90)"
 
 
 def wav_hex_sql(d: str = "doc_id") -> str:
@@ -253,21 +292,46 @@ def ppm_str_sql(d: str = "doc_id") -> str:
     )
 
 
+def avi_hex_sql(d: str = "doc_id") -> str:
+    """Hex string of a complete 88-byte AVI container (RIFF 'AVI ' ->
+    LIST hdrl -> avih with 14 dwords); every byte < 0x80 so the DuckDB
+    oracle can hash the exact bytes through a VARCHAR round-trip."""
+    w = AVI_W.format(d=d)
+    h = AVI_H.format(d=d)
+    nf = AVI_FRAMES.format(d=d)
+
+    def byte(e: str) -> str:
+        return f"lpad(hex({e}), 2, '0')"
+
+    return (
+        "concat('52494646', '50000000', '41564920', "  # RIFF, size 80, 'AVI '
+        "'4c495354', '44000000', '6864726c', "  # LIST, size 68, hdrl
+        "'61766968', '38000000', "  # avih, size 56
+        "'40000000', '00000000', '00000000', '00000000', "  # usec/frame=64, ...
+        f"{byte(nf)}, '000000', "  # dwTotalFrames
+        "'00000000', '01000000', '00000000', "  # init frames, 1 stream, bufsz
+        f"{byte(w)}, '000000', "  # dwWidth
+        f"{byte(h)}, '000000', "  # dwHeight
+        "repeat('00000000', 4))"  # dwReserved[4]
+    )
+
+
 def media_content_sql(dialect: str, d: str = "doc_id", text: str = "text") -> str:
-    """Per-row content: id%3=0 -> PPM image, 1 -> WAV audio, 2 -> raw text
-    as a 'video' placeholder (stub-decoded). Only the string->binary encode
-    differs between dialects."""
+    """Per-row content: id%3=0 -> PPM image, 1 -> WAV audio, 2 -> AVI video
+    — all REAL container bytes the decoders actually parse. Only the
+    string->binary encode differs between dialects. ``text`` is kept for
+    signature stability (no longer used: the stub path is exercised by unit
+    tests on payloads the parsers reject)."""
     enc = (
         (lambda e: f"encode({e}, 'utf-8')")
         if dialect == "spark"
         else (lambda e: f"encode({e})")
     )
-    fallback = enc(f"coalesce({text}, '')")
     return (
         f"CASE CAST({d} % 3 AS INT) "
         f"WHEN 0 THEN {enc(ppm_str_sql(d))} "
         f"WHEN 1 THEN unhex({wav_hex_sql(d)}) "
-        f"ELSE {fallback} END"
+        f"ELSE unhex({avi_hex_sql(d)}) END"
     )
 
 

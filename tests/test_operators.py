@@ -356,6 +356,24 @@ def test_real_decoders_parse_actual_containers(spark):
     f = decode_bmp(bmp)
     assert (f["feat_width"], f["feat_height"]) == (640, 480)
 
+    # AVI: RIFF 'AVI ' -> LIST hdrl -> avih (width/height/frames dwords)
+    from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
+        decode_avi,
+    )
+
+    vw, vh, vf = 1920, 1080, 250
+    avih = struct.pack("<14I", 40000, 0, 0, 0, vf, 0, 1, 0, vw, vh, 0, 0, 0, 0)
+    avi = (
+        b"RIFF" + struct.pack("<I", 80) + b"AVI "
+        + b"LIST" + struct.pack("<I", 68) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih
+    )
+    f = decode_avi(avi)
+    assert (f["feat_width"], f["feat_height"], f["frames_sampled"]) == (vw, vh, vf)
+    assert default_decode(avi, "video")["feat_width"] == vw  # sniffed as AVI
+    # truncated AVI (no avih) -> stub, not crash
+    assert default_decode(avi[:16], "video")["n_bytes"] == 16
+
     # sniffing: right magic routes to the right parser; malformed payloads
     # with a known magic fall back to the deterministic stub, as do kinds
     # with no parser (video)

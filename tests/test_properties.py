@@ -242,6 +242,19 @@ def P(input) {
   ifx3: (input.num + 1) * 2 - input.num / 2;
   ifx4: input.items? and not input.missing?;
   ifx5: -input.num;
+  wfil: input.items[where $.s = "a"];
+  wfil2: input.items[where $.s? and not ($.extra = 1)];
+  wdst: dest.ifx;
+  mj: $MergeJSON(MA(input), MB(input));
+}
+def MA(i) {
+  a: $ToString(i.kind);
+  sub.x: $ToString(i.num);
+}
+def MB(i) {
+  a: $ToString(i.num);
+  sub.y: "const";
+  b: true;
 }
 def It(e) {
   u: $ToUpper(e.s);
@@ -300,3 +313,34 @@ def test_rich_language_backends_agree_on_arbitrary_input(spark, payloads):
         for r in apply_mapping(df, RICH_CFG, backend="pandas", clock=clock).collect()
     }
     assert got_c == got_p
+
+
+# `required` under fuzz: both backends must produce the SAME ok/err split
+# and the SAME dead-letter message for every input shape (columns checks
+# with row-level NULL conditions, pandas raises RecoverableMappingError)
+REQ_CFG = """
+out Output: P(root);
+def P(input) {
+  required s: input.kind;
+  v: input.num;
+}
+"""
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_rich_payload, min_size=1, max_size=20))
+def test_required_backends_agree_on_arbitrary_input(spark, payloads):
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "id string, data string"
+    )
+    clock = "2024-01-01T00:00:00Z"
+    def snap(backend):
+        return {
+            r["id"]: (r["ok"], r["err"]["error_message"] if r["err"] else None)
+            for r in apply_mapping(df, REQ_CFG, backend=backend, clock=clock).collect()
+        }
+    assert snap("columns") == snap("pandas")
