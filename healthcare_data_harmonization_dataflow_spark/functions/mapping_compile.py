@@ -1125,6 +1125,78 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
     # for every row in the hot loop
     trees = {name: nest_fields(p.fields) for name, p in cfg.projectors.items()}
 
+    # ---- $MergeJSON declared-shape support (key-order parity with columns)
+    def _shape_from_tree(tree: dict) -> dict:
+        # nested {name: subshape-dict | None}; None = leaf/arr
+        return {
+            k: (_shape_from_tree(v[1]) if v[0] == "node" else None)
+            for k, v in tree.items()
+        }
+
+    def _merge_shapes(sa: dict, sb: dict) -> dict:
+        # same rule as the column backend's _merge_tree: left key order,
+        # right's new keys appended, node-node conflicts recurse, any
+        # other conflict keeps the left position
+        out = dict(sa)
+        for k, v in sb.items():
+            if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                out[k] = _merge_shapes(out[k], v)
+            elif k not in out:
+                out[k] = v
+        return out
+
+    _shape_memo: dict[int, Any] = {}
+
+    def _mj_shape(expr):
+        """Merged declared key shape of a $MergeJSON node, or None when any
+        argument is not a (possibly nested-merge of) plain projector call."""
+        key = id(expr)
+        if key not in _shape_memo:
+            _shape_memo[key] = _static_shape(expr)
+        return _shape_memo[key]
+
+    _argshape_memo: dict[int, list] = {}
+
+    def _mj_arg_shapes(expr):
+        """Per-argument declared shapes of a $MergeJSON node (entries may be
+        None for non-projector arguments)."""
+        key = id(expr)
+        if key not in _argshape_memo:
+            _argshape_memo[key] = [_static_shape(a) for a in expr.args]
+        return _argshape_memo[key]
+
+    def _static_shape(e):
+        if (
+            isinstance(e, Call)
+            and e.name in cfg.projectors
+            and not any(isinstance(a, Iterate) for a in e.args)
+        ):
+            return _shape_from_tree(trees[e.name])
+        if isinstance(e, Builtin) and e.name == "$MergeJSON":
+            shapes = [_static_shape(a) for a in e.args]
+            if any(s is None for s in shapes):
+                return None
+            out = shapes[0]
+            for s in shapes[1:]:
+                out = _merge_shapes(out, s)
+            return out
+        return None
+
+    def _reorder_by_shape(val: dict, shape: dict) -> dict:
+        out = {}
+        for k, sub in shape.items():
+            if k in val:
+                v = val[k]
+                out[k] = (
+                    _reorder_by_shape(v, sub)
+                    if isinstance(sub, dict) and isinstance(v, dict)
+                    else v
+                )
+        for k, v in val.items():  # runtime-only keys (unknown-shape leaves)
+            if k not in out:
+                out[k] = v
+        return out
+
     def eval_expr(expr, env):
         if isinstance(expr, Lit):
             return expr.value
@@ -1259,7 +1331,7 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 return _re.fullmatch(pat, s) is not None
             if expr.name == "$MergeJSON":
 
-                def _mj(a, b):
+                def _mj(a, b, sa=None):
                     if a is _MISSING:
                         return b
                     if b is _MISSING:
@@ -1267,7 +1339,24 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     if isinstance(a, dict) and isinstance(b, dict):
                         out = dict(a)  # a's key order, b's new keys appended
                         for k, v2 in b.items():
-                            out[k] = _mj(out[k], v2) if k in out else v2
+                            if k in out:
+                                sub = sa.get(k) if isinstance(sa, dict) else None
+                                out[k] = _mj(out[k], v2, sub)
+                            elif (
+                                isinstance(sa, dict)
+                                and k in sa
+                                and sa[k] is None  # declared LEAF on the left
+                                and (v2 is None or v2 == "" or v2 == [])
+                            ):
+                                # the left projector DECLARED this key but
+                                # wrote nil (so the runtime dict omitted it);
+                                # the column backend still runs its conflict
+                                # rule against the left's NULL column, where
+                                # a nil right side resolves to NULL and
+                                # vanishes — so do not insert it here either
+                                continue
+                            else:
+                                out[k] = v2
                         return out
                     if isinstance(a, dict) or isinstance(b, dict):
                         return b  # shape change replaces outright
@@ -1275,9 +1364,29 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                         return a  # writing nil is a no-op
                     return b
 
+                arg_shapes = _mj_arg_shapes(expr)
                 res = vals[0]
-                for v in vals[1:]:
-                    res = _mj(res, v)
+                sa = arg_shapes[0]
+                for v, sb in zip(vals[1:], arg_shapes[1:]):
+                    res = _mj(res, v, sa)
+                    sa = (
+                        _merge_shapes(sa, sb)
+                        if sa is not None and sb is not None
+                        else None
+                    )
+                # Key-order parity with the column backend: its merged
+                # named_struct keeps every DECLARED key at the left
+                # argument's position even when that key was written nil
+                # (the nil column is only dropped later, by to_json) —
+                # while this backend never inserted the nil key, so a
+                # right-side value for it would append out of place.
+                # Reorder by the merged declared shape (runtime keys of a
+                # projector result are always a subset of its nest_fields
+                # tree). Shape unknown (non-projector args) -> insertion
+                # order stands; the column backend rejects those anyway.
+                shape = _mj_shape(expr)
+                if shape is not None and isinstance(res, dict):
+                    res = _reorder_by_shape(res, shape)
                 return res
             if expr.name == "$IsNil":
                 v = vals[0]

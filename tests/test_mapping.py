@@ -1477,6 +1477,43 @@ def test_merge_json_golden(spark, backend):
     assert compile_mapping(MERGE_CFG).supports_columns() is True
 
 
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_merge_json_nil_left_nil_right_conflict(spark, backend):
+    """Fuzz-found regression: a key DECLARED by the left projector but
+    written nil (so absent from its runtime dict) is still a conflict in
+    the column backend, whose rule runs against the left's NULL column —
+    a nil right side then resolves to NULL and vanishes. The pandas
+    backend must not insert it as a fresh key."""
+    cfg = """
+out O: $MergeJSON(MA(root), MB(root));
+def MA(i) {
+  a: $ToString(i.kind);
+  sub.x: $ToString(i.num);
+}
+def MB(i) {
+  a: $ToString(i.num);
+  sub.y: "const";
+  b: true;
+}
+"""
+    df = spark.createDataFrame(
+        [
+            # kind nil AND num "": both sides of the 'a' conflict nil -> drop
+            ("a", '{"kind":null,"num":""}'),
+            # kind nil, num set: left nil, right real -> right wins
+            ("b", '{"kind":null,"num":7}'),
+            # both nil entirely
+            ("c", '{"kind":null,"num":null}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == '{"O":[{"sub":{"x":"","y":"const"},"b":true}]}'
+    assert oks["b"] == '{"O":[{"a":"7","sub":{"x":"7","y":"const"},"b":true}]}'
+    assert oks["c"] == '{"O":[{"sub":{"y":"const"},"b":true}]}'
+
+
 def test_merge_json_runtime_objects_fall_back(spark):
     """A variant∧variant leaf conflict may hold runtime OBJECTS, which
     deep-merge — not statically resolvable, so the column backend falls
