@@ -230,6 +230,44 @@ def q_mapping_numeric(spark, sf_dir):
     )
 
 
+TIME_Q_CFG = """
+out Output: P(root);
+def P(input) {
+  stamp: $ParseTime("yyyy-MM-dd'T'HH:mm:ss", input.ts_s);
+  local: $ParseUnixTime("s", input.epoch, "yyyy-MM-dd HH:mm:ss", "UTC");
+  parts: $SplitTime("yyyy-MM-dd'T'HH:mm:ss", input.ts_s);
+  due: $TimeAdd(input.ts_s, "yyyy-MM-dd'T'HH:mm:ss", 3, "months");
+  bucket: $Mod(input.eid, 10);
+  tag: $StrFmt("%s@%s", input.etype, input.eid);
+  fp: $IntHash(input.etype);
+  live: $IsNotNil(input.etype);
+}
+"""
+
+
+def q_mapping_time(spark, sf_dir):
+    """Library close-out builtins over the events table: the time suite
+    ($ParseTime / $ParseUnixTime / $SplitTime / $TimeAdd with SQL
+    month-end clamping), $Mod, printf-style $StrFmt, the 52-bit $IntHash
+    fingerprint and $IsNotNil — all compiled to Catalyst VARIANT
+    expressions (one pruned scan, no Python; the oracle reproduces every
+    rendering byte-for-byte, including the sha256-prefix integer)."""
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_s"),
+                F.unix_timestamp("ts").alias("epoch"),
+                F.col("event_type").alias("etype"),
+                F.col("event_id").alias("eid"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, TIME_Q_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 INFIX_Q_CFG = """
 out Output: P(root);
 def P(i) {
@@ -877,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_iterate": q_mapping_iterate,
         "mapping_reformat": q_mapping_reformat,
         "mapping_numeric": q_mapping_numeric,
+        "mapping_time": q_mapping_time,
         "mapping_logic": q_mapping_logic,
         "mapping_infix": q_mapping_infix,
         "mapping_where": q_mapping_where,
@@ -968,6 +1007,21 @@ def oracle_sql() -> dict[str, str]:
                                ELSE CAST(event_id / 4.0 AS VARCHAR) END,
                           ',"hot":', CASE WHEN value > 50 THEN 'true' ELSE 'false' END,
                           ',"delta":', event_id - user_id, '}]}') AS output
+            FROM events
+        """,
+        "mapping_time": """
+            SELECT concat('e', event_id) AS id,
+                   concat('{"Output":[{"stamp":"', strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                          '","local":"', strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                          '","parts":["', strftime(ts, '%Y'), '","',
+                          strftime(ts, '%m'), '","', strftime(ts, '%d'), '","',
+                          strftime(ts, '%H'), '","', strftime(ts, '%M'), '","',
+                          strftime(ts, '%S'),
+                          '"],"due":"', strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%dT%H:%M:%S'),
+                          '","bucket":', event_id % 10,
+                          ',"tag":"', event_type, '@', event_id,
+                          '","fp":', CAST(concat('0x', substr(sha256(concat('"', event_type, '"')), 1, 13)) AS BIGINT),
+                          ',"live":true}]}') AS output
             FROM events
         """,
         "mapping_logic": """

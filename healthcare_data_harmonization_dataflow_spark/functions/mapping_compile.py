@@ -216,6 +216,65 @@ def _time_fmt(node, what: str, need_full_date: bool = False) -> str:
     return s
 
 
+def _strfmt_segments(fmt: str) -> "tuple[list[str | None], int]":
+    """Split a $StrFmt pattern into literal segments and %s slots (None
+    entries); %% escapes a percent. Any other directive is outside the
+    supported subset (printf number formatting diverges between backends)."""
+    segs: list[str | None] = []
+    buf: list[str] = []
+    nslots = 0
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= n:
+                raise MappingConfigError("$StrFmt: dangling '%' in format")
+            nxt = fmt[i + 1]
+            if nxt == "%":
+                buf.append("%")
+            elif nxt == "s":
+                segs.append("".join(buf))
+                buf.clear()
+                segs.append(None)
+                nslots += 1
+            else:
+                raise MappingConfigError(
+                    f"$StrFmt: unsupported directive %{nxt} (only %s and %%)"
+                )
+            i += 2
+        else:
+            buf.append(c)
+            i += 1
+    segs.append("".join(buf))
+    return segs, nslots
+
+
+# $TimeAdd units -> position in make_interval(years, months, weeks, days,
+# hours, mins, secs); the python backend mirrors months/years with
+# clamp-at-month-end arithmetic and the rest with timedelta
+_TIMEADD_UNITS = {
+    "years": 0,
+    "months": 1,
+    "days": 3,
+    "hours": 4,
+    "minutes": 5,
+    "seconds": 6,
+}
+
+# epoch-seconds bound keeping results inside years 1970-9999, where the two
+# backends' renderings agree ($ParseUnixTime rejects values outside it)
+_EPOCH_SECS_MAX = 253402300799  # 9999-12-31T23:59:59
+
+
+def _year_guard(ts: Column) -> Column:
+    """Nil any timestamp outside years 1000-9999: Java's yyyy zero-pads
+    ("0999") where Python's %Y does not ("999"), so the two backends'
+    renderings only agree inside the 4-digit window. Applied to every
+    parsed/derived timestamp in the time builtins; the python backend
+    enforces the same window on dt.year."""
+    return F.when(F.year(ts).between(1000, 9999), ts)
+
+
 def _clock_dt(clock: str):
     """Injected-clock ISO-8601 string -> naive-UTC datetime (the session
     timezone is UTC, so a naive literal timestamp renders identically via
@@ -569,6 +628,46 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     "column backend: $Hash argument must be a data value"
                 )
             return _StrCol(F.sha2(F.to_json(args[0]), 256))
+        if expr.name == "$IntHash":
+            # 52-bit integer fingerprint: first 13 hex digits of the same
+            # sha256, read base-16 — stays inside the |x| <= 2^53 integer
+            # envelope so both backends render it as a plain integer
+            if not isinstance(args[0], Column):
+                raise MappingConfigError(
+                    "column backend: $IntHash argument must be a data value"
+                )
+            return F.try_parse_json(
+                F.conv(
+                    F.substring(F.sha2(F.to_json(args[0]), 256), 1, 13), 16, 10
+                )
+            )
+        if expr.name == "$DebugString":
+            # the canonical JSON rendering itself (VARIANT's to_json —
+            # sorted object keys, strings quoted); data-derived args only,
+            # mirroring $Hash's restriction
+            if not isinstance(args[0], Column):
+                raise MappingConfigError(
+                    "column backend: $DebugString argument must be a data value"
+                )
+            return _StrCol(F.to_json(args[0]))
+        if expr.name == "$StrFmt":
+            fmt = _lit_str(expr.args[0], "$StrFmt format")
+            segs, nslots = _strfmt_segments(fmt)
+            if nslots != len(args) - 1:
+                raise MappingConfigError(
+                    f"$StrFmt format has {nslots} %s slots for "
+                    f"{len(args) - 1} arguments"
+                )
+            cols: list[Column] = []
+            ai = 1
+            for seg in segs:
+                if seg is None:  # a %s slot
+                    cols.append(_str_form(args[ai]))
+                    ai += 1
+                elif seg:
+                    cols.append(F.lit(seg))
+            # concat is null-intolerant: one nil argument nils the result
+            return _StrCol(F.concat(*cols) if cols else F.lit(""))
         if expr.name == "$Eq":
             # equality of canonical JSON renderings (VARIANT objects carry
             # sorted keys, so rendering equality == value equality); a
@@ -644,24 +743,31 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     _str_form(args[0]).rlike(f"^(?:{pat})$"), F.lit(False)
                 )
             )
-        if expr.name == "$IsNil":
-            v = args[0]
-            if isinstance(v, _StrCol):
-                return _BoolCol(F.coalesce(v.col == "", F.lit(True)))
-            if isinstance(v, _BoolCol):
-                return _BoolCol(v.col.isNull())
-            if isinstance(v, _ArrCol):
-                return _BoolCol(F.coalesce(F.size(v.col) == 0, F.lit(True)))
-            if isinstance(v, _StrArr):
-                return _BoolCol(F.lit(len(v.cols) == 0))
-            if isinstance(v, _StructVal):
-                return _BoolCol(F.lit(False))  # statically non-empty
-            # variant: nil = missing, JSON null, '', [], {} — one rendering
-            return _BoolCol(
-                F.coalesce(
+        if expr.name in ("$IsNil", "$IsNotNil"):
+
+            def _nil_col(v) -> Column:
+                # never NULL: every branch coalesces, so negation is safe
+                if isinstance(v, _StrCol):
+                    return F.coalesce(v.col == "", F.lit(True))
+                if isinstance(v, _BoolCol):
+                    return v.col.isNull()
+                if isinstance(v, _ArrCol):
+                    return F.coalesce(F.size(v.col) == 0, F.lit(True))
+                if isinstance(v, _StrArr):
+                    return F.lit(len(v.cols) == 0)
+                if isinstance(v, _StructVal):
+                    return F.lit(False)  # statically non-empty
+                # variant: nil = missing, JSON null, '', [], {} — rendering
+                return F.coalesce(
                     F.to_json(v).isin("null", '""', "[]", "{}"), F.lit(True)
                 )
-            )
+
+            nil = _nil_col(args[0])
+            return _BoolCol(nil if expr.name == "$IsNil" else ~nil)
+        if expr.name == "$Void":
+            # arguments are compiled (so they must still be WELL-FORMED)
+            # but the value is always nil: the field is simply omitted
+            return _null_variant()
         if expr.name == "$ListLen":
             v = args[0]
             if isinstance(v, _ArrCol):
@@ -699,10 +805,71 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 expr.args[1], "$ReformatTime input format", need_full_date=True
             )
             out_fmt = _time_fmt(expr.args[2], "$ReformatTime output format")
-            ts = F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt))
+            ts = _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt)))
             # unparseable/missing -> NULL timestamp -> NULL string -> field
             # omitted, matching the pandas backend's _MISSING
             return _StrCol(F.date_format(ts, out_fmt))
+        if expr.name == "$ParseTime":
+            in_fmt = _time_fmt(
+                expr.args[0], "$ParseTime format", need_full_date=True
+            )
+            ts = _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt)))
+            return _StrCol(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
+        if expr.name == "$ParseUnixTime":
+            unit = _lit_str(expr.args[0], "$ParseUnixTime unit")
+            if unit not in ("s", "ms"):
+                raise MappingConfigError(
+                    f"$ParseUnixTime unit must be 's' or 'ms', got {unit!r}"
+                )
+            out_fmt = _time_fmt(expr.args[2], "$ParseUnixTime format")
+            tz = _lit_str(expr.args[3], "$ParseUnixTime timezone")
+            if tz != "UTC":
+                raise MappingConfigError(
+                    "$ParseUnixTime supports the 'UTC' timezone only"
+                )
+            lim = _EPOCH_SECS_MAX * 1000 + 999 if unit == "ms" else _EPOCH_SECS_MAX
+            d = _num_form(args[1])
+            # integral, in-range epochs only: fractional values and years
+            # past 9999 are where the backends' renderings stop agreeing
+            iv = F.when(
+                (d == F.floor(d)) & (d >= 0) & (d <= F.lit(float(lim))),
+                d.cast("long"),
+            )
+            ts = F.timestamp_millis(iv) if unit == "ms" else F.timestamp_seconds(iv)
+            return _StrCol(F.date_format(ts, out_fmt))
+        if expr.name == "$SplitTime":
+            in_fmt = _time_fmt(
+                expr.args[0], "$SplitTime format", need_full_date=True
+            )
+            ts = _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt)))
+            comps = F.array(
+                *[F.date_format(ts, p) for p in ("yyyy", "MM", "dd", "HH", "mm", "ss")]
+            )
+            # unparseable -> nil (not an array of nulls)
+            return _ArrCol(F.when(ts.isNotNull(), comps), "str")
+        if expr.name == "$TimeAdd":
+            in_fmt = _time_fmt(
+                expr.args[1], "$TimeAdd format", need_full_date=True
+            )
+            n = _lit_int(expr.args[2], "$TimeAdd quantity")
+            unit = _lit_str(expr.args[3], "$TimeAdd unit")
+            if unit not in _TIMEADD_UNITS:
+                raise MappingConfigError(
+                    f"$TimeAdd unit must be one of {sorted(_TIMEADD_UNITS)}"
+                )
+            ts = _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt)))
+            iargs = [F.lit(0)] * 7
+            iargs[_TIMEADD_UNITS[unit]] = F.lit(n)
+            # month/year intervals clamp at month end (Jan 31 + 1 month ->
+            # Feb 29), exactly the python backend's manual clamp
+            ts2 = _year_guard(ts + F.make_interval(*iargs))
+            return _StrCol(F.date_format(ts2, in_fmt))
+        if expr.name == "$UnnestArrays":
+            # runtime-shaped output (one row of pairs per OBSERVED key):
+            # pandas territory, like runtime-object merges
+            raise MappingConfigError(
+                "column backend: $UnnestArrays is runtime-shaped (pandas)"
+            )
         if expr.name == "$ListCat":
             cols = []
             for a in args:
@@ -845,7 +1012,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 ).otherwise(F.array_append(acc, x)),
             )
             return _ArrCol(out, "variant")
-        if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
+        if expr.name in ("$Sum", "$Sub", "$Mul", "$Div", "$Mod"):
             ds = [_num_form(a) for a in args]
             if expr.name == "$Sum":
                 d = ds[0]
@@ -857,6 +1024,11 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     d = d * x
             elif expr.name == "$Sub":
                 d = ds[0] - ds[1]
+            elif expr.name == "$Mod":
+                # SQL % on doubles is C fmod (dividend's sign); zero divisor
+                # is nil, matching $Div (the NaN it would produce is outside
+                # the envelope anyway)
+                d = F.when(ds[1] != F.lit(0.0), ds[0] % ds[1])
             else:  # $Div — zero denominator is nil, never Inf
                 d = F.when(ds[1] != F.lit(0.0), ds[0] / ds[1])
             # null propagation is free: +,-,*,/ are null-intolerant
@@ -1388,14 +1560,17 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 if shape is not None and isinstance(res, dict):
                     res = _reorder_by_shape(res, shape)
                 return res
-            if expr.name == "$IsNil":
+            if expr.name in ("$IsNil", "$IsNotNil"):
                 v = vals[0]
-                return (
+                nil = (
                     v is _MISSING or v is None or v == "" or v == [] or v == {}
                 )
+                return nil if expr.name == "$IsNil" else not nil
+            if expr.name == "$Void":
+                return _MISSING  # always nil; arguments evaluated, discarded
             if expr.name == "$ListLen":
                 return len(vals[0]) if isinstance(vals[0], list) else _MISSING
-            if expr.name in ("$Sum", "$Sub", "$Mul", "$Div"):
+            if expr.name in ("$Sum", "$Sub", "$Mul", "$Div", "$Mod"):
                 nums = [_num_coerce(v) for v in vals]
                 if any(n is _MISSING for n in nums):
                     return _MISSING
@@ -1409,6 +1584,14 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                         r = r * x
                 elif expr.name == "$Sub":
                     r = nums[0] - nums[1]
+                elif expr.name == "$Mod":
+                    import math as _math
+
+                    if nums[1] == 0.0:
+                        return _MISSING
+                    # math.fmod == SQL's double %: the dividend's sign
+                    # (python's % operator takes the divisor's — wrong here)
+                    r = _math.fmod(nums[0], nums[1])
                 else:
                     if nums[1] == 0.0:
                         return _MISSING
@@ -1476,7 +1659,84 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 # the input enforces the same zero-padded forms
                 if dt.strftime(tr_in[0]) != s:
                     return _MISSING
+                if not 1000 <= dt.year <= 9999:
+                    return _MISSING  # _year_guard's 4-digit window
                 return dt.strftime(tr_out[0])
+            if expr.name in ("$ParseTime", "$SplitTime", "$TimeAdd"):
+                # shared strict parse (format-first argument order for
+                # $ParseTime/$SplitTime; $TimeAdd is (t, fmt, n, unit))
+                fmt_v = vals[1] if expr.name == "$TimeAdd" else vals[0]
+                t_v = vals[0] if expr.name == "$TimeAdd" else vals[1]
+                s = _scalar_str(t_v)
+                tr = _time_translate(fmt_v)
+                if s is _MISSING or tr is None or not _FULL_DATE <= tr[1]:
+                    return _MISSING
+                from datetime import datetime as _datetime, timedelta as _td
+
+                try:
+                    dt = _datetime.strptime(s, tr[0])
+                except ValueError:
+                    return _MISSING
+                if dt.strftime(tr[0]) != s:  # same strict-parse parity
+                    return _MISSING
+                if not 1000 <= dt.year <= 9999:
+                    return _MISSING  # _year_guard's 4-digit window
+                if expr.name == "$ParseTime":
+                    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+                if expr.name == "$SplitTime":
+                    return [
+                        dt.strftime(p)
+                        for p in ("%Y", "%m", "%d", "%H", "%M", "%S")
+                    ]
+                # $TimeAdd
+                n, unit = vals[2], vals[3]
+                if (
+                    not isinstance(n, int)
+                    or isinstance(n, bool)
+                    or unit not in _TIMEADD_UNITS
+                ):
+                    return _MISSING
+                if unit in ("years", "months"):
+                    import calendar as _cal
+
+                    months = n * 12 if unit == "years" else n
+                    m0 = dt.year * 12 + (dt.month - 1) + months
+                    y2, m2 = divmod(m0, 12)
+                    m2 += 1
+                    if not 1 <= y2 <= 9999:
+                        return _MISSING
+                    # clamp at month end only on overflow — exactly the
+                    # SQL year-month interval rule the column backend uses
+                    d2 = min(dt.day, _cal.monthrange(y2, m2)[1])
+                    dt2 = dt.replace(year=y2, month=m2, day=d2)
+                else:
+                    try:
+                        dt2 = dt + _td(**{unit: n})
+                    except OverflowError:
+                        return _MISSING
+                if not 1000 <= dt2.year <= 9999:
+                    return _MISSING  # years where the renderings agree
+                return dt2.strftime(tr[0])
+            if expr.name == "$ParseUnixTime":
+                unit, out_fmt, tz = vals[0], vals[2], vals[3]
+                tr = _time_translate(out_fmt)
+                if unit not in ("s", "ms") or tz != "UTC" or tr is None:
+                    return _MISSING
+                n = _num_coerce(vals[1])
+                lim = (
+                    _EPOCH_SECS_MAX * 1000 + 999
+                    if unit == "ms"
+                    else _EPOCH_SECS_MAX
+                )
+                if n is _MISSING or not float(n).is_integer() or not 0 <= n <= lim:
+                    return _MISSING
+                from datetime import datetime as _datetime, timedelta as _td
+
+                iv = int(n)
+                dt = _datetime(1970, 1, 1) + (
+                    _td(milliseconds=iv) if unit == "ms" else _td(seconds=iv)
+                )
+                return dt.strftime(tr[0])
             if expr.name == "$ListCat":
                 if any(not isinstance(v, list) for v in vals):
                     return _MISSING
@@ -1604,6 +1864,55 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 return hashlib.sha256(
                     json_canon.dumps(json_canon.canon_sort(v)).encode()
                 ).hexdigest()
+            if expr.name == "$IntHash":
+                v = vals[0]
+                if v is _MISSING:
+                    return _MISSING
+                digest = hashlib.sha256(
+                    json_canon.dumps(json_canon.canon_sort(v)).encode()
+                ).hexdigest()
+                return int(digest[:13], 16)  # 52 bits: integer envelope
+            if expr.name == "$DebugString":
+                v = vals[0]
+                if v is _MISSING:
+                    return _MISSING
+                return json_canon.dumps(json_canon.canon_sort(v))
+            if expr.name == "$StrFmt":
+                # runtime-tolerant like the other pattern builtins: a bad or
+                # data-derived format is nil here; the column backend
+                # enforces a LITERAL format at compile time
+                fmt = vals[0]
+                if not isinstance(fmt, str):
+                    return _MISSING
+                try:
+                    segs, nslots = _strfmt_segments(fmt)
+                except MappingConfigError:
+                    return _MISSING
+                if nslots != len(vals) - 1:
+                    return _MISSING
+                forms = [_scalar_str(v) for v in vals[1:]]
+                if any(s is _MISSING for s in forms):
+                    return _MISSING  # concat null-propagation
+                out_s: list[str] = []
+                ai = 0
+                for seg in segs:
+                    if seg is None:
+                        out_s.append(forms[ai])
+                        ai += 1
+                    else:
+                        out_s.append(seg)
+                return "".join(out_s)
+            if expr.name == "$UnnestArrays":
+                v = vals[0]
+                if not isinstance(v, dict):
+                    return _MISSING
+                pairs: list = []
+                for k2, val2 in v.items():
+                    if isinstance(val2, list):
+                        pairs.extend({"k": k2, "v": el} for el in val2)
+                    else:
+                        pairs.append({"k": k2, "v": val2})
+                return pairs
             forms = [_scalar_str(v) for v in vals]
             if any(f is _MISSING for f in forms):
                 return _MISSING  # column concat/upper null-propagate

@@ -216,6 +216,45 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     "$Lt": (2, 2),
     "$Gte": (2, 2),
     "$Lte": (2, 2),
+    # library close-out wave — the remaining deterministic builtins from the
+    # public Whistle library (mapping-engine builtins.go; $UUID is excluded
+    # as inherently non-deterministic):
+    # $Mod(a, b): IEEE remainder with the dividend's sign (SQL % / C fmod);
+    #   zero divisor is nil. $IsNotNil is exactly `not $IsNil`. $Void
+    #   evaluates to nil regardless of arguments (the field is omitted) —
+    #   the library's explicit "write nothing" marker.
+    "$Mod": (2, 2),
+    "$IsNotNil": (1, 1),
+    "$Void": (0, None),
+    # $IntHash(v): deterministic 52-bit integer fingerprint — the first 13
+    #   hex digits of sha256 over the value's canonical JSON rendering,
+    #   read base-16 (52 bits keeps it inside the portable integer
+    #   envelope, |x| <= 2^53). $DebugString(v): the canonical JSON text
+    #   itself (strings keep their quotes).
+    "$IntHash": (1, 1),
+    "$DebugString": (1, 1),
+    # $StrFmt(fmt, args...): printf-style with a %s-only subset (plus %%);
+    #   each %s takes the argument's JSON-scalar string form; a nil
+    #   argument nils the whole result (concat null-propagation).
+    "$StrFmt": (2, None),
+    # time library, all over the $ReformatTime pattern subset:
+    # $ParseTime(fmt, t) parses t (fmt must carry a full date) and renders
+    #   the ISO form yyyy-MM-dd'T'HH:mm:ss; $ParseUnixTime(unit, ts, fmt,
+    #   tz) renders an integral epoch value (unit "s"|"ms", tz "UTC" only)
+    #   with fmt; $SplitTime(fmt, t) yields the six zero-padded components
+    #   [yyyy, MM, dd, HH, mm, ss] as strings; $TimeAdd(t, fmt, n, unit)
+    #   adds literal n units (years/months/days/hours/minutes/seconds,
+    #   month arithmetic clamps at month end like SQL intervals) and
+    #   renders back through fmt. Results landing outside years 1000-9999
+    #   are nil (the backends' year renderings stop agreeing there).
+    "$ParseTime": (2, 2),
+    "$ParseUnixTime": (4, 4),
+    "$SplitTime": (2, 2),
+    "$TimeAdd": (4, 4),
+    # $UnnestArrays(obj): object -> [{k, v}] pairs, one per array element
+    #   (non-array fields yield a single pair); data-derived objects carry
+    #   canonically sorted keys. Runtime-shaped, so it runs in pandas.
+    "$UnnestArrays": (1, 1),
 }
 
 # Java-pattern tokens the $ReformatTime subset supports, with their strftime

@@ -1531,3 +1531,115 @@ def B(i) { m: i.o2; }
     )
     res = ok_rows(apply_mapping(df, cfg, clock=CLOCK))
     assert res.collect()[0]["ok"] == '{"O":[{"m":{"x":1,"z":9,"y":2}}]}'
+
+
+# ---------------------------------------------------- library close-out wave
+CLOSEOUT_CFG = """
+out O: P(root);
+def P(i) {
+  mod: $Mod(i.num, 7);
+  modneg: $Mod(-13, 5);
+  nn: $IsNotNil(i.kind);
+  nn2: $IsNotNil(i.missing);
+  vd: $Void(i.num);
+  ih: $IntHash(i.kind);
+  ds: $DebugString(i.kind);
+  sf: $StrFmt("id=%s num=%s 100%%", i.kind, i.num);
+  pt: $ParseTime("yyyy-MM-dd", i.day);
+  put: $ParseUnixTime("s", i.epoch, "yyyy-MM-dd HH:mm:ss", "UTC");
+  putms: $ParseUnixTime("ms", i.epochms, "HH:mm:ss", "UTC");
+  st: $SplitTime("yyyy-MM-dd'T'HH:mm:ss", i.ts);
+  ta: $TimeAdd(i.day, "yyyy-MM-dd", 1, "months");
+  ta2: $TimeAdd(i.day, "yyyy-MM-dd", -36, "hours");
+}
+"""
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_builtin_closeout_golden(backend, spark):
+    """The remaining public-Whistle builtins: $Mod (dividend's sign, zero
+    divisor nil), $IsNotNil, $Void (always nil), $IntHash (52-bit sha256
+    prefix), $DebugString (canonical JSON text), $StrFmt (%s/%% subset,
+    nil-propagating), and the time library ($ParseTime / $ParseUnixTime /
+    $SplitTime / $TimeAdd with month-end clamping and the years-1000-9999
+    rendering window)."""
+    assert compile_mapping(CLOSEOUT_CFG).supports_columns() is True
+    df = spark.createDataFrame(
+        [
+            (
+                "a",
+                '{"kind":"abc","num":32,"day":"2024-01-31",'
+                '"epoch":1700000000,"epochms":1700000000123,'
+                '"ts":"2024-02-29T12:34:56"}',
+            ),
+            # nil kind, "" num, 3-digit-year day, negative/fractional epochs
+            (
+                "b",
+                '{"kind":null,"num":"","day":"0999-01-05",'
+                '"epoch":-5,"epochms":1.5,"ts":"bad"}',
+            ),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, CLOSEOUT_CFG, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"mod":4,"modneg":-3,"nn":true,"nn2":false,'
+        '"ih":1913442161720247,"ds":"\\"abc\\"","sf":"id=abc num=32 100%",'
+        '"pt":"2024-01-31T00:00:00","put":"2023-11-14 22:13:20",'
+        '"putms":"22:13:20","st":["2024","02","29","12","34","56"],'
+        # Jan 31 + 1 month clamps at Feb 29 (leap); -36h crosses two days
+        '"ta":"2024-02-29","ta2":"2024-01-29"}]}'
+    )
+    # b: every time/arith/format field nils (bad inputs, pre-1000 year,
+    # negative epoch); $IntHash/$DebugString hash/render the JSON null
+    assert oks["b"] == (
+        '{"O":[{"modneg":-3,"nn":false,"nn2":false,'
+        '"ih":2043119860907636,"ds":"null"}]}'
+    )
+
+
+def test_unnest_arrays_pandas_fallback(spark):
+    """$UnnestArrays is runtime-shaped (one pair per OBSERVED key/element),
+    so the column backend declines and auto falls back to pandas."""
+    cfg = "out O: P(root);\ndef P(i) { un: $UnnestArrays(i.obj); }"
+    assert compile_mapping(cfg).supports_columns() is False
+    df = spark.createDataFrame(
+        [
+            ("a", '{"obj":{"b":"x","a":[1,2]}}'),  # keys canon-sorted
+            ("b", '{"obj":[1]}'),  # non-object -> nil
+            ("c", '{"obj":{}}'),  # empty object -> empty pair list
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["a"] == (
+        '{"O":[{"un":[{"k":"a","v":1},{"k":"a","v":2},{"k":"b","v":"x"}]}]}'
+    )
+    assert oks["b"] == '{"O":[{}]}'
+    assert oks["c"] == '{"O":[{"un":[]}]}'
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_timeadd_month_clamp_only_on_overflow(backend, spark):
+    """SQL year-month interval rule: the day clamps to month end ONLY on
+    overflow — a mid-month day never snaps to the end."""
+    cfg = """
+out O: P(root);
+def P(i) {
+  over: $TimeAdd(i.d1, "yyyy-MM-dd", 1, "months");
+  mid: $TimeAdd(i.d2, "yyyy-MM-dd", 1, "months");
+  yr: $TimeAdd(i.d1, "yyyy-MM-dd", -1, "years");
+}
+"""
+    df = spark.createDataFrame(
+        [("a", '{"d1":"2023-01-31","d2":"2024-02-29"}')],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    assert res.collect()[0]["ok"] == (
+        # non-leap Feb clamps to 28; Feb 29 + 1 month keeps day 29;
+        # 2023-01-31 - 1 year keeps Jan 31
+        '{"O":[{"over":"2023-02-28","mid":"2024-03-29","yr":"2022-01-31"}]}'
+    )

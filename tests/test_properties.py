@@ -246,6 +246,19 @@ def P(input) {
   wfil2: input.items[where $.s? and not ($.extra = 1)];
   wdst: dest.ifx;
   mj: $MergeJSON(MA(input), MB(input));
+  md: $Mod(input.num, 7);
+  md2: $Mod(input.num, input.kind);
+  nnl: $IsNotNil(input.items);
+  vdd: $Void(input.num);
+  ihh: $IntHash(input.kind);
+  dbg: $DebugString(input.items);
+  sfm: $StrFmt("k=%s|n=%s %%", input.kind, input.num);
+  ptm: $ParseTime("yyyy-MM-dd", input.day);
+  ptu: $ParseUnixTime("s", input.epoch, "yyyy-MM-dd HH:mm:ss", "UTC");
+  ptums: $ParseUnixTime("ms", input.epoch, "HH:mm:ss", "UTC");
+  spt: $SplitTime("yyyy-MM-dd", input.day);
+  tad: $TimeAdd(input.day, "yyyy-MM-dd", 7, "days");
+  tam: $TimeAdd(input.day, "yyyy-MM-dd", 13, "months");
 }
 def MA(i) {
   a: $ToString(i.kind);
@@ -266,8 +279,8 @@ _rich_item = st.fixed_dictionaries(
     {}, optional={"s": _scalar, "extra": _scalar}
 )
 _rich_payload = st.builds(
-    lambda kind, num, items, day: json.dumps(
-        {"kind": kind, "num": num, "items": items, "day": day}
+    lambda kind, num, items, day, epoch: json.dumps(
+        {"kind": kind, "num": num, "items": items, "day": day, "epoch": epoch}
     ),
     st.one_of(st.sampled_from(["a", "b"]), _scalar),
     st.one_of(st.text(max_size=6), st.integers(-100, 100), st.none()),
@@ -284,6 +297,15 @@ _rich_payload = st.builds(
         ).map(lambda d: d.isoformat()),
         st.sampled_from(["2024-1-05", "2024-01-5", ""]),
         st.text(max_size=12),
+    ),
+    # epochs: valid seconds/millis, negatives, fractions, out-of-range,
+    # and non-numeric garbage — $ParseUnixTime nils everything but
+    # integral in-range values, identically on both backends
+    st.one_of(
+        st.integers(-10, 2**45),
+        st.floats(min_value=-1e3, max_value=1e12, allow_nan=False),
+        st.none(),
+        st.text(max_size=8),
     ),
 )
 
