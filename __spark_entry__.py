@@ -898,6 +898,83 @@ def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", T.fingerprint_col())
 
 
+# deterministic PII injection so the scrubber is EXERCISED on every row
+# (the synthetic corpus contains no natural emails/SSNs/phones); both
+# engines build the identical augmented text
+def _pii_augmented(docs):
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ssn 123-45-"),
+            four,
+            F.lit(" call (555) 867-"),
+            four,
+        ).alias("text"),
+    )
+
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           concat(text, ' contact user', doc_id,
+                  '@mail.example.com ssn 123-45-',
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                  ' call (555) 867-',
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+    FROM documents
+"""
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        pii_oracle_exprs,
+    )
+
+    e = pii_oracle_exprs()
+    return f"""
+        WITH aug AS ({_PII_AUG_SQL})
+        SELECT doc_id,
+               {e["n_email"]} AS n_email,
+               {e["n_ssn"]} AS n_ssn,
+               {e["n_phone"]} AS n_phone,
+               {e["clean_text"]} AS clean_text
+        FROM aug
+    """
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (operators/curation.py): redact + count emails / SSNs /
+    phone numbers over deterministically-augmented document text. Pure
+    regexp codegen — one pruned scan, no shuffle, no Python."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    return scrub_pii(_pii_augmented(_docs(spark, sf_dir))).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "clean_text"
+    )
+
+
+def q_contamination_flag(spark, sf_dir):
+    """Benchmark-contamination check (operators/curation.py): flag documents
+    containing any blocklist snippet (exact substring). The blocklist is
+    derived deterministically from the corpus (~1% of docs contribute one
+    48-char snippet) and BROADCAST — the corpus never shuffles for the
+    probe; only (doc_id, hit) pairs shuffle for the count."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    snips = docs.where(
+        (F.col("doc_id") % 101 == 0) & (F.length("text") >= 64)
+    ).select(F.substring("text", 16, 48).alias("snip"))
+    return contamination_flags(docs, snips)
+
+
 def q_tablerow_json(spark, sf_dir):
     from healthcare_data_harmonization_dataflow_spark.functions.reformat import (
         table_row_to_json,
@@ -958,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_pii_scrub": q_text_pii_scrub,
+        "contamination_flag": q_contamination_flag,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1422,6 +1501,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_fingerprint": T.fingerprint_oracle_sql(),
+        "text_pii_scrub": _pii_scrub_oracle_sql(),
+        "contamination_flag": """
+            WITH snips AS (
+                SELECT substr(text, 16, 48) AS snip
+                FROM documents
+                WHERE doc_id % 101 = 0 AND length(text) >= 64
+            )
+            SELECT d.doc_id,
+                   CAST((SELECT count(*) FROM snips s
+                         WHERE contains(d.text, s.snip)) AS BIGINT) AS n_hits,
+                   (SELECT count(*) FROM snips s
+                    WHERE contains(d.text, s.snip)) > 0 AS contaminated
+            FROM documents d
+        """,
         "tablerow_json": """
             SELECT event_id, concat('{"Event":', props, '}') AS row_json FROM events
         """,

@@ -465,3 +465,56 @@ def test_connected_components_without_universe(spark):
         r["doc_id"]: r["cluster"] for r in connected_components(edges).collect()
     }
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+# ------------------------------------------------------- curation operators
+def test_scrub_pii_redacts_and_counts(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today"),
+            (2, "ssn 987-65-4321 and phone (555) 867-5309"),
+            (3, "plain text, no pii at all"),
+            (4, "two mails a@b.io c@d.co and 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and "<EMAIL>" in rows[1]["clean_text"]
+    assert "jo.doe" not in rows[1]["clean_text"]
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 1
+    assert "<SSN>" in rows[2]["clean_text"] and "<PHONE>" in rows[2]["clean_text"]
+    assert rows[3]["clean_text"] == "plain text, no pii at all"
+    assert rows[3]["n_email"] == rows[3]["n_ssn"] == rows[3]["n_phone"] == 0
+    assert rows[4]["n_email"] == 2 and rows[4]["n_phone"] == 1
+    # plan stays JVM-side (regexp codegen, no Python)
+    plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_contamination_flags_broadcast_probe(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a clean document with nothing blocked"),
+            (3, "contains quick brown fox and lazy dog twice"),
+        ],
+        "doc_id long, text string",
+    )
+    snips = spark.createDataFrame(
+        [("quick brown fox",), ("lazy dog",)], "snip string"
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(docs, snips).collect()}
+    assert got[1]["n_hits"] == 2 and got[1]["contaminated"] is True
+    assert got[2]["n_hits"] == 0 and got[2]["contaminated"] is False
+    assert got[3]["n_hits"] == 2
+    # the blocklist side is broadcast: no shuffle for the probe join
+    plan = contamination_flags(docs, snips)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
