@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "mapping_iterate",
     "mapping_where",
     "mapping_required",
+    "mapping_time",
     "fhir_bundle_wrap",
     "hl7v2_harmonize",
     "bundle_assembly",
@@ -60,6 +61,8 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "text_quality",
     "text_fingerprint",
+    "text_pii_scrub",
+    "contamination_flag",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -266,13 +266,27 @@ _TIMEADD_UNITS = {
 _EPOCH_SECS_MAX = 253402300799  # 9999-12-31T23:59:59
 
 
+def _let(col: Column, fn) -> Column:
+    """Bind ``col`` ONCE and build an expression over the bound value:
+    single-element ``array`` + ``transform`` + ``element_at`` — the only
+    let-binding the Column API offers. The variant-expression trees this
+    compiler emits duplicate their inputs heavily (a numeric render
+    references its operand ~6 times, a time render its parsed timestamp up
+    to 7), and VARIANT projections run WITHOUT whole-stage-codegen
+    subexpression elimination, so every textual duplicate re-evaluates.
+    Binding collapses that multiplicative blow-up to one evaluation per
+    row (measured 2-5x on the time/arithmetic builtins at sf0.1)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _year_guard(ts: Column) -> Column:
     """Nil any timestamp outside years 1000-9999: Java's yyyy zero-pads
     ("0999") where Python's %Y does not ("999"), so the two backends'
     renderings only agree inside the 4-digit window. Applied to every
     parsed/derived timestamp in the time builtins; the python backend
-    enforces the same window on dt.year."""
-    return F.when(F.year(ts).between(1000, 9999), ts)
+    enforces the same window on dt.year. Binds ts once (_let) — it is
+    typically an expensive parse referenced twice here."""
+    return _let(ts, lambda t: F.when(F.year(t).between(1000, 9999), t))
 
 
 def _clock_dt(clock: str):
@@ -308,8 +322,13 @@ def _num_form(jv) -> Column:
         raise MappingConfigError(
             "column backend: arithmetic arguments must be scalar values"
         )
-    return F.when(
-        d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), d
+    # bind d once: the guard references it 4 times, and d itself is often
+    # an expensive variant cast (see _let)
+    return _let(
+        d,
+        lambda x: F.when(
+            x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))), x
+        ),
     )
 
 
@@ -322,14 +341,18 @@ def _num_render(d: Column) -> Column:
     (both shortest-round-trip). Anything else is nil: beyond the envelope
     Java flips to "1.0E16"-style scientific while Python writes "1e+16",
     so the envelope IS the cross-backend spec."""
-    intish = (d == F.floor(d)) & (F.abs(d) <= F.lit(_MAX_EXACT_LONG))
-    plain = (F.abs(d) >= F.lit(1e-3)) & (F.abs(d) < F.lit(1e7))
-    return F.when(
-        d.isNotNull() & ~F.isnan(d),
-        F.when(intish, F.try_parse_json(d.cast("long").cast("string"))).when(
-            plain, F.try_parse_json(d.cast("string"))
-        ),
-    )
+    def render(x: Column) -> Column:
+        intish = (x == F.floor(x)) & (F.abs(x) <= F.lit(_MAX_EXACT_LONG))
+        plain = (F.abs(x) >= F.lit(1e-3)) & (F.abs(x) < F.lit(1e7))
+        return F.when(
+            x.isNotNull() & ~F.isnan(x),
+            F.when(intish, F.try_parse_json(x.cast("long").cast("string"))).when(
+                plain, F.try_parse_json(x.cast("string"))
+            ),
+        )
+
+    # bind d once: the envelope references it 9 times (see _let)
+    return _let(d, render)
 
 
 def _vpath(parts) -> str:
@@ -830,10 +853,14 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             lim = _EPOCH_SECS_MAX * 1000 + 999 if unit == "ms" else _EPOCH_SECS_MAX
             d = _num_form(args[1])
             # integral, in-range epochs only: fractional values and years
-            # past 9999 are where the backends' renderings stop agreeing
-            iv = F.when(
-                (d == F.floor(d)) & (d >= 0) & (d <= F.lit(float(lim))),
-                d.cast("long"),
+            # past 9999 are where the backends' renderings stop agreeing;
+            # d bound once for its 5 references (_let)
+            iv = _let(
+                d,
+                lambda x: F.when(
+                    (x == F.floor(x)) & (x >= 0) & (x <= F.lit(float(lim))),
+                    x.cast("long"),
+                ),
             )
             ts = F.timestamp_millis(iv) if unit == "ms" else F.timestamp_seconds(iv)
             return _StrCol(F.date_format(ts, out_fmt))
@@ -842,11 +869,23 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 expr.args[0], "$SplitTime format", need_full_date=True
             )
             ts = _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt)))
-            comps = F.array(
-                *[F.date_format(ts, p) for p in ("yyyy", "MM", "dd", "HH", "mm", "ss")]
+            # bind ts once for its 7 references; unparseable -> nil (not an
+            # array of nulls)
+            return _ArrCol(
+                _let(
+                    ts,
+                    lambda t: F.when(
+                        t.isNotNull(),
+                        F.array(
+                            *[
+                                F.date_format(t, p)
+                                for p in ("yyyy", "MM", "dd", "HH", "mm", "ss")
+                            ]
+                        ),
+                    ),
+                ),
+                "str",
             )
-            # unparseable -> nil (not an array of nulls)
-            return _ArrCol(F.when(ts.isNotNull(), comps), "str")
         if expr.name == "$TimeAdd":
             in_fmt = _time_fmt(
                 expr.args[1], "$TimeAdd format", need_full_date=True
@@ -1027,10 +1066,14 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             elif expr.name == "$Mod":
                 # SQL % on doubles is C fmod (dividend's sign); zero divisor
                 # is nil, matching $Div (the NaN it would produce is outside
-                # the envelope anyway)
-                d = F.when(ds[1] != F.lit(0.0), ds[0] % ds[1])
+                # the envelope anyway). Denominator bound once (_let).
+                d = _let(
+                    ds[1], lambda den: F.when(den != F.lit(0.0), ds[0] % den)
+                )
             else:  # $Div — zero denominator is nil, never Inf
-                d = F.when(ds[1] != F.lit(0.0), ds[0] / ds[1])
+                d = _let(
+                    ds[1], lambda den: F.when(den != F.lit(0.0), ds[0] / den)
+                )
             # null propagation is free: +,-,*,/ are null-intolerant
             return _num_render(d)
         if expr.name in ("$Gt", "$Lt", "$Gte", "$Lte"):
