@@ -958,6 +958,33 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+_SAMPLE_RATES = [("en", 300), ("es", 650), ("de", 1000), ("fr", 120)]
+# "zh" is deliberately absent: strata without a rate are dropped
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (operators/curation.py):
+    md5-prefix hash gate against a broadcast (lang, keep_permille) table —
+    idempotent under retries, reproducible across engines, corpus never
+    shuffles. The training-data rebalancing pass."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    rates = spark.createDataFrame(
+        _SAMPLE_RATES, "lang string, keep_permille int"
+    )
+    return stratified_sample(_docs(spark, sf_dir), rates)
+
+
+def _stratified_sample_oracle() -> str:
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        stratified_sample_oracle_sql,
+    )
+
+    return stratified_sample_oracle_sql(_SAMPLE_RATES)
+
+
 def q_contamination_flag(spark, sf_dir):
     """Benchmark-contamination check (operators/curation.py): flag documents
     containing any blocklist snippet (exact substring). The blocklist is
@@ -1037,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scrub": q_text_pii_scrub,
         "contamination_flag": q_contamination_flag,
+        "stratified_sample": q_stratified_sample,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1502,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": T.fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle(),
         "contamination_flag": """
             WITH snips AS (
                 SELECT substr(text, 16, 48) AS snip

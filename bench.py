@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_pii_scrub",
     "contamination_flag",
+    "stratified_sample",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -97,3 +97,51 @@ def contamination_flags(
         )
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by hash thresholding.
+
+    ``rates`` is a SMALL (stratum, keep_permille) table — broadcast, so the
+    corpus never shuffles: each row computes a 52-bit md5 prefix of its id,
+    keeps it iff ``hash % 1000 < keep_permille`` for its stratum. Unlike
+    ``df.sampleBy`` (per-partition RNG: resample on retry/re-read, not
+    reproducible across engines), the hash gate is a pure function of the
+    row id — idempotent under task retries, stable across runs, and exactly
+    reproducible by any engine with md5 (the DuckDB oracle). This is the
+    standard language/quality-rebalancing pass of a training-data pipeline.
+    Strata absent from ``rates`` are DROPPED (permille 0).
+    """
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates), on=stratum_col, how="inner")
+        .where(gate < F.col("keep_permille"))
+        .drop("keep_permille")
+    )
+
+
+def stratified_sample_oracle_sql(
+    rates: "list[tuple[str, int]]",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL reproducing stratified_sample exactly (same md5-prefix
+    gate), with the rates inlined as a VALUES list."""
+    vals = ", ".join(f"('{s}', {p})" for s, p in rates)
+    return f"""
+        WITH rates({stratum_col}, keep_permille) AS (VALUES {vals})
+        SELECT d.* FROM documents d
+        JOIN rates r USING ({stratum_col})
+        WHERE CAST(concat('0x', substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 13)) AS BIGINT) % 1000
+              < r.keep_permille
+    """

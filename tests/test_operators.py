@@ -518,3 +518,27 @@ def test_contamination_flags_broadcast_probe(spark):
     # the blocklist side is broadcast: no shuffle for the probe join
     plan = contamination_flags(docs, snips)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_deterministic_hash_gate(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "zz") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    rates = spark.createDataFrame(
+        [("en", 500)], "lang string, keep_permille int"
+    )
+    out = stratified_sample(docs, rates)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+    assert ids1 == ids2  # pure function of the id: stable across runs
+    assert all(i % 2 == 0 for i in ids1)  # 'zz' has no rate -> dropped
+    # ~half of the 100 'en' docs survive a 500-permille gate
+    assert 30 <= len(ids1) <= 70
+    assert "keep_permille" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # rates broadcast: no corpus shuffle
