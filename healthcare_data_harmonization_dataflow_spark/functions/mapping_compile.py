@@ -96,7 +96,36 @@ class CompiledMapping:
         routes such rows to the dead-letter branch instead of emitting the
         output. Both columns are plain expressions over the same root; the
         whole check stays inside whole-stage codegen."""
-        env: dict[str, Any] = {"root": root, "__clock__": clock, "__req__": []}
+        reg = _HoistRegistry()
+        out, miss = self._compile_targets(root, clock, reg)
+        hoists = reg.repeated()
+        if hoists:
+            # cross-field CSE (see _HoistRegistry): bind the repeated
+            # subtrees once and re-compile the output over the bound struct;
+            # the miss column keeps the pass-1 (standalone) expressions —
+            # required checks are rare and cheap relative to the output
+            hcols = [c.alias(f"__h{i}") for i, (_, c) in enumerate(hoists)]
+            subst_keys = {k: i for i, (k, _) in enumerate(hoists)}
+
+            def body(b):
+                reg2 = _HoistRegistry(
+                    subst={k: b[f"__h{i}"] for k, i in subst_keys.items()}
+                )
+                out2, _ = self._compile_targets(root, clock, reg2)
+                return out2
+
+            out = F.element_at(F.transform(F.array(F.struct(*hcols)), body), 1)
+        return out, miss
+
+    def _compile_targets(
+        self, root: Column, clock: str | None, reg: "_HoistRegistry"
+    ) -> "tuple[Column, Column]":
+        env: dict[str, Any] = {
+            "root": root,
+            "__clock__": clock,
+            "__req__": [],
+            "__hoist__": reg,
+        }
         for name, vexpr in self.config.vars:  # top-level var bindings
             env[name] = _compile_expr(self.config, vexpr, env)
         targets: dict[str, list[Column]] = {}
@@ -264,6 +293,57 @@ _TIMEADD_UNITS = {
 # epoch-seconds bound keeping results inside years 1970-9999, where the two
 # backends' renderings agree ($ParseUnixTime rejects values outside it)
 _EPOCH_SECS_MAX = 253402300799  # 9999-12-31T23:59:59
+
+
+_LAMBDA_VAR = __import__("re").compile(r"\bx_\d+\b")
+
+
+class _HoistRegistry:
+    """Cross-field common-subexpression elimination for the column backend.
+
+    Variant projections run outside whole-stage codegen (no Catalyst CSE),
+    so the same expensive subtree compiled into several fields — e.g. three
+    time builtins parsing the same timestamp string — evaluates once PER
+    FIELD per row. The compiler makes two passes: pass 1 registers each
+    candidate (timestamp parses, numeric coercions) under a NORMALIZED
+    expression-string key (lambda variable ids x_N are fresh per
+    construction, so they are masked); pass 2 re-compiles with the repeated
+    candidates substituted by references into a struct of hoisted columns
+    bound once via _let at the top of the output expression. Only maximal
+    repeated trees are kept (a repeated subtree contained in a hoisted one
+    rides along). Hoisting is disabled inside lambda scopes (iteration /
+    [where] predicates): a hoisted column must be a row-level expression.
+    """
+
+    def __init__(self, subst: "dict[str, Column] | None" = None):
+        self.subst = subst
+        self.seen: "dict[str, tuple[int, Column]]" = {}
+
+    def visit(self, col: Column) -> Column:
+        key = _LAMBDA_VAR.sub("x_#", col._jc.toString())
+        if self.subst is not None:
+            repl = self.subst.get(key)
+            return repl if repl is not None else col
+        cnt, _ = self.seen.get(key, (0, col))
+        self.seen[key] = (cnt + 1, col)
+        return col
+
+    def repeated(self) -> "list[tuple[str, Column]]":
+        items = [(k, c) for k, (n, c) in self.seen.items() if n >= 2]
+        items.sort(key=lambda kc: -len(kc[0]))  # longest (outermost) first
+        kept: "list[tuple[str, Column]]" = []
+        for k, c in items:
+            if not any(k in kk for kk, _ in kept):
+                kept.append((k, c))
+        return kept
+
+
+def _hoist(env, col: Column) -> Column:
+    """Register ``col`` as a CSE candidate (or substitute it in pass 2).
+    A no-op when no registry is active — lambda scopes and the pandas
+    backend never see one."""
+    reg = (env or {}).get("__hoist__")
+    return col if reg is None else reg.visit(col)
 
 
 def _let(col: Column, fn) -> Column:
@@ -502,6 +582,8 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         def _keep(e):
             penv = dict(env)
             penv["$"] = e
+            # lambda scope: a hoisted column cannot reference the element var
+            penv.pop("__hoist__", None)
             # required-miss conditions cannot escape the filter lambda
             penv["__req__"] = None
             # strict boolean: NULL (missing/non-boolean) drops the element
@@ -574,6 +656,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         penv = dict(zip(proj.params, args))
         penv["__clock__"] = env.get("__clock__")
         penv["__req__"] = env.get("__req__")
+        penv["__hoist__"] = env.get("__hoist__")  # row-level context: CSE on
         for vn, vx in proj.vars:  # projector-local var bindings, in order
             penv[vn] = _compile_expr(cfg, vx, penv)
         result = _compile_tree(cfg, nest_fields(proj.fields), penv, is_root=True)
@@ -828,7 +911,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 expr.args[1], "$ReformatTime input format", need_full_date=True
             )
             out_fmt = _time_fmt(expr.args[2], "$ReformatTime output format")
-            ts = _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt)))
+            ts = _hoist(env, _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt))))
             # unparseable/missing -> NULL timestamp -> NULL string -> field
             # omitted, matching the pandas backend's _MISSING
             return _StrCol(F.date_format(ts, out_fmt))
@@ -836,7 +919,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             in_fmt = _time_fmt(
                 expr.args[0], "$ParseTime format", need_full_date=True
             )
-            ts = _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt)))
+            ts = _hoist(env, _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt))))
             return _StrCol(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"))
         if expr.name == "$ParseUnixTime":
             unit = _lit_str(expr.args[0], "$ParseUnixTime unit")
@@ -851,7 +934,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                     "$ParseUnixTime supports the 'UTC' timezone only"
                 )
             lim = _EPOCH_SECS_MAX * 1000 + 999 if unit == "ms" else _EPOCH_SECS_MAX
-            d = _num_form(args[1])
+            d = _hoist(env, _num_form(args[1]))
             # integral, in-range epochs only: fractional values and years
             # past 9999 are where the backends' renderings stop agreeing;
             # d bound once for its 5 references (_let)
@@ -868,7 +951,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             in_fmt = _time_fmt(
                 expr.args[0], "$SplitTime format", need_full_date=True
             )
-            ts = _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt)))
+            ts = _hoist(env, _year_guard(F.try_to_timestamp(_str_form(args[1]), F.lit(in_fmt))))
             # bind ts once for its 7 references; unparseable -> nil (not an
             # array of nulls)
             return _ArrCol(
@@ -896,7 +979,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 raise MappingConfigError(
                     f"$TimeAdd unit must be one of {sorted(_TIMEADD_UNITS)}"
                 )
-            ts = _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt)))
+            ts = _hoist(env, _year_guard(F.try_to_timestamp(_str_form(args[0]), F.lit(in_fmt))))
             iargs = [F.lit(0)] * 7
             iargs[_TIMEADD_UNITS[unit]] = F.lit(n)
             # month/year intervals clamp at month end (Jan 31 + 1 month ->
@@ -1052,7 +1135,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             )
             return _ArrCol(out, "variant")
         if expr.name in ("$Sum", "$Sub", "$Mul", "$Div", "$Mod"):
-            ds = [_num_form(a) for a in args]
+            ds = [_hoist(env, _num_form(a)) for a in args]
             if expr.name == "$Sum":
                 d = ds[0]
                 for x in ds[1:]:
@@ -1077,7 +1160,7 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             # null propagation is free: +,-,*,/ are null-intolerant
             return _num_render(d)
         if expr.name in ("$Gt", "$Lt", "$Gte", "$Lte"):
-            a, b = _num_form(args[0]), _num_form(args[1])
+            a, b = _hoist(env, _num_form(args[0])), _hoist(env, _num_form(args[1]))
             cmp = {
                 "$Gt": a > b,
                 "$Lt": a < b,

@@ -1643,3 +1643,36 @@ def P(i) {
         # 2023-01-31 - 1 year keeps Jan 31
         '{"O":[{"over":"2023-02-28","mid":"2024-03-29","yr":"2022-01-31"}]}'
     )
+
+
+def test_cross_field_cse_hoists_repeated_time_parse(spark):
+    """Three fields parsing the same timestamp string compile to ONE
+    try_to_timestamp in the final column expression (cross-field CSE —
+    variant projections run without codegen subexpression elimination, so
+    textual duplicates would each evaluate per row)."""
+    cfg = """
+out O: P(root);
+def P(input) {
+  stamp: $ParseTime("yyyy-MM-dd'T'HH:mm:ss", input.ts_s);
+  parts: $SplitTime("yyyy-MM-dd'T'HH:mm:ss", input.ts_s);
+  due: $TimeAdd(input.ts_s, "yyyy-MM-dd'T'HH:mm:ss", 3, "months");
+}
+"""
+    from pyspark.sql import functions as F
+
+    eng = compile_mapping(cfg)
+    col = eng.output_column(F.lit('{"ts_s":"2024-02-29T12:34:56"}'))
+    n_parses = col._jc.toString().count("try_to_timestamp")
+    assert n_parses == 1, f"expected the repeated parse hoisted, saw {n_parses}"
+    # and the hoisted plan still evaluates correctly on both backends
+    df = spark.createDataFrame(
+        [("a", '{"ts_s":"2024-02-29T12:34:56"}')], "id string, data string"
+    )
+    want = (
+        '{"O":[{"stamp":"2024-02-29T12:34:56",'
+        '"parts":["2024","02","29","12","34","56"],'
+        '"due":"2024-05-29T12:34:56"}]}'
+    )
+    for backend in ("columns", "pandas"):
+        got = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+        assert got.collect()[0]["ok"] == want
