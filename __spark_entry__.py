@@ -977,6 +977,33 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), rates)
 
 
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (operators/curation.py): drop
+    lines appearing in >= 3 distinct documents (C4/RefinedWeb frequent-line
+    pass). Sentences become lines deterministically and boilerplate lines
+    are injected into 1/3 and 1/4 of the docs so the pass is exercised;
+    the count shuffles 16-byte line hashes, never text."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"\. ", ".\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nSubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nAll rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines(aug, min_docs=3)
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1065,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "contamination_flag": q_contamination_flag,
         "stratified_sample": q_stratified_sample,
+        "dedup_lines": q_dedup_lines,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1531,6 +1559,28 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle(),
+        "dedup_lines": """
+            WITH aug AS (
+              SELECT doc_id,
+                     concat(regexp_replace(text, '\\. ', '.' || chr(10), 'g'),
+                            CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END,
+                            CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END) AS text
+              FROM documents),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+            lines AS (
+              SELECT doc_id, unnest(arr) AS line,
+                     unnest(generate_series(1, len(arr))) AS pos FROM ls),
+            freq AS (SELECT line FROM lines GROUP BY line
+                     HAVING count(DISTINCT doc_id) >= 3)
+            SELECT a.doc_id,
+              coalesce((SELECT string_agg(l.line, chr(10) ORDER BY l.pos)
+                        FROM lines l WHERE l.doc_id = a.doc_id
+                          AND l.line NOT IN (SELECT line FROM freq)), '') AS clean_text,
+              (SELECT CAST(count(*) AS BIGINT) FROM lines l
+               WHERE l.doc_id = a.doc_id
+                 AND l.line IN (SELECT line FROM freq)) AS n_lines_removed
+            FROM aug a
+        """,
         "contamination_flag": """
             WITH snips AS (
                 SELECT substr(text, 16, 48) AS snip

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "contamination_flag",
     "stratified_sample",
+    "dedup_lines",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -145,3 +145,58 @@ def stratified_sample_oracle_sql(
         WHERE CAST(concat('0x', substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 13)) AS BIGINT) % 1000
               < r.keep_permille
     """
+
+
+def dedup_lines(
+    docs: DataFrame, min_docs: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level boilerplate removal: drop every line that appears in at
+    least ``min_docs`` DISTINCT documents (the C4/RefinedWeb frequent-line
+    pass — navigation chrome, cookie banners, footers).
+
+    Scale shape (100 TB honest): lines explode WITH their position; the
+    frequency count groups on a 16-byte md5 of the line, never shuffling
+    text for the count; the verdict joins back on the same hash (text
+    travels exactly once, to its reassembly reducer); reassembly is one
+    groupBy(doc) with sort_array over (pos, line) structs. Two shuffles of
+    the corpus total — the floor for a global-frequency rewrite. Returns
+    (doc_id, clean_text, n_lines_removed).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    freq = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lh", F.lit(True).alias("boiler"))
+    )
+    marked = lines.join(freq, "lh", "left")
+    kept = (
+        marked.where(F.col("boiler").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    removed = marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_removed")
+    )
+    # a doc whose every line was boilerplate keeps an empty clean_text
+    return (
+        removed.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines_removed",
+        )
+    )

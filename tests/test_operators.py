@@ -542,3 +542,29 @@ def test_stratified_sample_deterministic_hash_gate(spark):
     assert "keep_permille" not in out.columns
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # rates broadcast: no corpus shuffle
+
+
+def test_dedup_lines_removes_corpus_frequent_lines(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nSubscribe now\nbody a"),
+            (2, "Subscribe now\nbody b"),
+            (3, "body c\nSubscribe now"),
+            (4, "Subscribe now"),  # every line boilerplate -> empty doc
+            (5, "untouched\nlines"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=3).collect()}
+    assert got[1]["clean_text"] == "unique one\nbody a"
+    assert got[1]["n_lines_removed"] == 1
+    assert got[2]["clean_text"] == "body b"
+    assert got[3]["clean_text"] == "body c"
+    assert got[4]["clean_text"] == "" and got[4]["n_lines_removed"] == 1
+    assert got[5]["clean_text"] == "untouched\nlines"
+    assert got[5]["n_lines_removed"] == 0
+    assert len(got) == 5  # every doc survives, even all-boilerplate ones
