@@ -1004,6 +1004,17 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(aug, min_docs=3)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking (operators/curation.py): 32-token chunks,
+    8-token overlap (sized so sf0.01 docs produce several chunks each) —
+    pure per-row HOFs + one posexplode, zero shuffle at any corpus size."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flag": q_contamination_flag,
         "stratified_sample": q_stratified_sample,
         "dedup_lines": q_dedup_lines,
+        "doc_chunks": q_doc_chunks,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1559,6 +1571,21 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle(),
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+              FROM t)
+            SELECT doc_id,
+                   CAST(start // 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+                   CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
+            FROM s
+        """,
         "dedup_lines": """
             WITH aug AS (
               SELECT doc_id,

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "contamination_flag",
     "stratified_sample",
     "dedup_lines",
+    "doc_chunks",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

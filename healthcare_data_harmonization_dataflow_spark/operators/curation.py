@@ -200,3 +200,49 @@ def dedup_lines(
             "n_lines_removed",
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    training-prep pass before packing/tokenization. Tokens are whitespace
+    words; windows start every ``chunk_tokens - overlap`` tokens; the last
+    window may be short; an empty document yields one empty chunk.
+
+    Entirely per-row higher-order functions (split / sequence / transform /
+    slice) followed by one posexplode: NO shuffle at any size — chunking a
+    100 TB corpus is a single embarrassingly-parallel scan. Returns
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, F.lit(chunk_tokens))).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.greatest(F.size(toks) - s, F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

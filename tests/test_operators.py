@@ -568,3 +568,36 @@ def test_dedup_lines_removes_corpus_frequent_lines(spark):
     assert got[5]["clean_text"] == "untouched\nlines"
     assert got[5]["n_lines_removed"] == 0
     assert len(got) == 5  # every doc survives, even all-boilerplate ones
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),  # empty doc -> one empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # stride 3 over 10 tokens: starts 0,3,6,9
+    one = sorted(got[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in one] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r["n_tokens"] for r in one] == [4, 4, 4, 1]
+    assert [r["chunk_idx"] for r in one] == [0, 1, 2, 3]
+    assert got[2][0]["chunk_text"] == "only three tokens"
+    assert got[3][0]["chunk_text"] == "" and got[3][0]["n_tokens"] == 0
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    # zero-shuffle guarantee: no Exchange anywhere in the plan
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
