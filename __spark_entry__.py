@@ -1015,6 +1015,19 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/curation.py): chunk then assign chunks
+    to 64-token training sequences by running offset within doc_id//100
+    groups — one shuffle, parallel across groups."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+    return pack_sequences(chunks, seq_len=64, group_size=100)
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1105,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dedup_lines": q_dedup_lines,
         "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1571,6 +1585,33 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle(),
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+              FROM t),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(start // 24 AS BIGINT) AS chunk_idx,
+                     CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
+              FROM s),
+            packed AS (
+              SELECT CAST(doc_id // 100 AS BIGINT) AS grp, doc_id, chunk_idx, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY doc_id // 100
+                                         ORDER BY doc_id, chunk_idx
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM chunks)
+            SELECT grp,
+                   CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+                   doc_id, chunk_idx, n_tokens,
+                   CAST((cum - n_tokens) % 64 AS BIGINT) AS seq_offset
+            FROM packed
+        """,
         "doc_chunks": """
             WITH t AS (
               SELECT doc_id,

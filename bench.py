@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "dedup_lines",
     "doc_chunks",
+    "pack_sequences",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -246,3 +246,41 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame, seq_len: int = 512, group_size: int = 1024
+) -> DataFrame:
+    """Assign chunks to fixed-token training sequences by running offset —
+    the packing pass between chunking and tokenization. A single global
+    order would serialize the corpus through one window partition, so
+    packing happens WITHIN groups of ``group_size`` doc_ids: each group's
+    chunks are ordered (doc_id, chunk_idx) and their running token offset
+    assigns ``seq_id = offset // seq_len`` (a chunk belongs to the
+    sequence where it starts and may straddle into the next — standard
+    packing-with-attention-mask semantics). One shuffle (the window
+    partition by group), embarrassingly parallel across groups. Returns
+    (grp, seq_id, doc_id, chunk_idx, n_tokens, seq_offset).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("cum") - F.col("n_tokens")  # token offset where it begins
+    return (
+        chunks.withColumn(
+            "grp", F.floor(F.col("doc_id") / F.lit(group_size)).cast("long")
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "grp",
+            F.floor(start / F.lit(seq_len)).cast("long").alias("seq_id"),
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            (start % F.lit(seq_len)).cast("long").alias("seq_offset"),
+        )
+    )

@@ -601,3 +601,31 @@ def test_chunk_documents_overlapping_windows(spark):
     # zero-shuffle guarantee: no Exchange anywhere in the plan
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_running_offset_binning(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            # group 0: doc 1 (3 chunks of 4 tokens), doc 2 (2 chunks of 5)
+            (1, 0, 4), (1, 1, 4), (1, 2, 4), (2, 0, 5), (2, 1, 5),
+            # group 1 (doc_id 10, group_size=8): its own offset space
+            (10, 0, 7),
+        ],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in pack_sequences(chunks, seq_len=10, group_size=8).collect()
+    }
+    # running offsets in group 0: 0,4,8,12,17 -> seq ids 0,0,0,1,1
+    assert [got[(1, i)]["seq_id"] for i in range(3)] == [0, 0, 0]
+    assert got[(1, 2)]["seq_offset"] == 8  # straddles into seq 1
+    assert got[(2, 0)]["seq_id"] == 1 and got[(2, 0)]["seq_offset"] == 2
+    assert got[(2, 1)]["seq_id"] == 1 and got[(2, 1)]["seq_offset"] == 7
+    # group 1 restarts at offset 0
+    assert got[(10, 0)]["grp"] == 1
+    assert got[(10, 0)]["seq_id"] == 0 and got[(10, 0)]["seq_offset"] == 0
