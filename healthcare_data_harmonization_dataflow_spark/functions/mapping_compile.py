@@ -992,6 +992,13 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             raise MappingConfigError(
                 "column backend: $UnnestArrays is runtime-shaped (pandas)"
             )
+        if expr.name == "$UUID":
+            # nondeterministic: besides being un-checkable, a nondeterministic
+            # leaf inside the CSE/let transform lambdas is not allowed by
+            # Catalyst — pandas-only by design
+            raise MappingConfigError(
+                "column backend: $UUID is nondeterministic (pandas)"
+            )
         if expr.name == "$ListCat":
             cols = []
             for a in args:
@@ -2028,6 +2035,10 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     else:
                         out_s.append(seg)
                 return "".join(out_s)
+            if expr.name == "$UUID":
+                import uuid as _uuid
+
+                return str(_uuid.uuid4())
             if expr.name == "$UnnestArrays":
                 v = vals[0]
                 if not isinstance(v, dict):

@@ -255,6 +255,11 @@ BUILTINS: dict[str, tuple[int, int | None]] = {
     #   (non-array fields yield a single pair); data-derived objects carry
     #   canonically sorted keys. Runtime-shaped, so it runs in pandas.
     "$UnnestArrays": (1, 1),
+    # $UUID(): random RFC-4122 v4 id — the library's ONLY nondeterministic
+    #   builtin, excluded from the oracle/fuzz parity gates by nature;
+    #   pandas-only (the column backend declines so `auto` falls back —
+    #   a nondeterministic leaf would also poison the CSE transform wrap)
+    "$UUID": (0, 0),
 }
 
 # Java-pattern tokens the $ReformatTime subset supports, with their strftime

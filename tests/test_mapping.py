@@ -1676,3 +1676,29 @@ def P(input) {
     for backend in ("columns", "pandas"):
         got = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
         assert got.collect()[0]["ok"] == want
+
+
+def test_uuid_pandas_only_random_v4(spark):
+    """$UUID: the library's only nondeterministic builtin — pandas-only
+    (column backend declines, auto falls back), RFC-4122 v4 shaped, fresh
+    per evaluation."""
+    import re
+
+    cfg = "out O: P(root);\ndef P(i) { a: $UUID(); b: $UUID(); }"
+    assert compile_mapping(cfg).supports_columns() is False
+    df = spark.createDataFrame(
+        [("a", "{}"), ("b", "{}")], "id string, data string"
+    )
+    rows = ok_rows(apply_mapping(df, cfg, clock=CLOCK)).collect()
+    import json as _json
+
+    seen = set()
+    for r in rows:
+        out = _json.loads(r["ok"])["O"][0]
+        for k in ("a", "b"):
+            assert re.fullmatch(
+                r"[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+                out[k],
+            )
+            seen.add(out[k])
+    assert len(seen) == 4  # fresh per call per row
