@@ -224,21 +224,26 @@ def _assemble(
 def assemble_sessions_stateful(
     transcripts: DataFrame,
     gap: str = "5 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: str | None = "10 minutes",
     max_turns_per_bundle: int | None = None,
 ) -> DataFrame:
     """Streaming session assembly. ``transcripts`` must contain
     conv_id/turn_idx/role/text/ts. Watermark on ts bounds state size and
     drives the event-time session timeout. ``max_turns_per_bundle`` caps
-    bundle size (chunked emission for hot conversations)."""
+    bundle size (chunked emission for hot conversations).
+    ``watermark_delay=None`` means the input stream ALREADY carries a
+    watermark on ts (e.g. an upstream dropDuplicatesWithinWatermark) —
+    re-defining one is disallowed by Spark."""
     gap_seconds = _parse_seconds(gap)
 
     def fn(key, pdfs, state):
         return _assemble(key, pdfs, state, gap_seconds, max_turns_per_bundle)
 
+    t = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
+    if watermark_delay is not None:
+        t = t.withWatermark("ts", watermark_delay)
     return (
-        transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
-        .withWatermark("ts", watermark_delay)
+        t
         .groupBy("conv_id")
         .applyInPandasWithState(
             fn,
@@ -283,9 +288,9 @@ def assemble_sessions_window(
     per-batch Arrow round-trip disappears."""
     from pyspark.sql import functions as F
 
-    t = transcripts.select(
-        "conv_id", "turn_idx", "role", "text", "ts"
-    ).withWatermark("ts", watermark_delay)
+    t = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
+    if watermark_delay is not None:  # None = already watermarked upstream
+        t = t.withWatermark("ts", watermark_delay)
     return (
         t.groupBy("conv_id", F.session_window("ts", gap).alias("_w"))
         .agg(

@@ -156,9 +156,11 @@ def assemble_sessions_tws(
 ) -> DataFrame:
     """transformWithState session assembly — output-identical to
     assembly.assemble_sessions_stateful (tested)."""
+    t = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
+    if watermark_delay is not None:  # None = already watermarked upstream
+        t = t.withWatermark("ts", watermark_delay)
     return (
-        transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
-        .withWatermark("ts", watermark_delay)
+        t
         .groupBy("conv_id")
         .transformWithStateInPandas(
             statefulProcessor=SessionAssembler(_parse_seconds(gap)),

@@ -52,6 +52,12 @@ class HarmonizationPipeline:
     # the reference's --enablePerformanceMetrics: per-element transform
     # latency Distribution (forces the Arrow/pandas mapping backend)
     enable_performance_metrics: bool = False
+    # at-least-once source hardening: the reference's notification source
+    # (Pub/Sub) redelivers, so the same turn can arrive twice; when True,
+    # duplicate (conv_id, turn_idx) rows are dropped within the watermark
+    # (dropDuplicatesWithinWatermark: state bounded by the delay) before
+    # mapping, so redelivery cannot double-count in bundles OR dead letters
+    dedup_turns: bool = False
 
     def __post_init__(self):
         self.bundles_sink = ExactlyOnceParquetSink(
@@ -74,6 +80,21 @@ class HarmonizationPipeline:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(input_path)
 
+    def _assembly_delay(self) -> "str | None":
+        # dedup_turns already watermarked the source; a second withWatermark
+        # on the same stream is "redefining" and Spark rejects it
+        return None if self.dedup_turns else self.watermark_delay
+
+    def source(self, spark: SparkSession, input_path: str) -> DataFrame:
+        """read_stream + optional at-least-once dedup (both queries share
+        this so redelivered turns cannot double-count anywhere)."""
+        s = self.read_stream(spark, input_path)
+        if self.dedup_turns:
+            s = s.withWatermark(
+                "ts", self.watermark_delay
+            ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        return s
+
     # ------------------------------------------------------- mapped stream
     def mapped(self, transcripts: DataFrame) -> DataFrame:
         m = apply_mapping(
@@ -90,7 +111,7 @@ class HarmonizationPipeline:
         """Main query: map -> assemble sessions -> exactly-once bundle sink.
         The mapping runs before the stateful op, so only valid turns enter
         state; the session bundle carries mapped output as its text."""
-        stream = self.read_stream(spark, input_path)
+        stream = self.source(spark, input_path)
         m = self.mapped(stream)
         ok = ok_rows(m).select(
             "conv_id", "turn_idx", "role", F.col("ok").alias("text"), "ts"
@@ -104,7 +125,7 @@ class HarmonizationPipeline:
                     "assembly='state_v1' with max_turns_per_bundle"
                 )
             bundles = assemble_sessions_window(
-                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+                ok, gap=self.session_gap, watermark_delay=self._assembly_delay()
             )
         elif self.assembly == "tws":
             from .assembly_tws import assemble_sessions_tws, tws_available
@@ -115,13 +136,13 @@ class HarmonizationPipeline:
                     "state protocol); use assembly='state_v1' here"
                 )
             bundles = assemble_sessions_tws(
-                ok, gap=self.session_gap, watermark_delay=self.watermark_delay
+                ok, gap=self.session_gap, watermark_delay=self._assembly_delay()
             )
         else:
             bundles = assemble_sessions_stateful(
                 ok,
                 gap=self.session_gap,
-                watermark_delay=self.watermark_delay,
+                watermark_delay=self._assembly_delay(),
                 max_turns_per_bundle=self.max_turns_per_bundle,
             )
         return (
@@ -136,7 +157,7 @@ class HarmonizationPipeline:
     def run_deadletter(self, spark: SparkSession, input_path: str, checkpoint: str):
         """Dead-letter query: same source, err branch only, flushed every
         trigger into the dead-letter table (5 s window analogue)."""
-        stream = self.read_stream(spark, input_path)
+        stream = self.source(spark, input_path)
         m = self.mapped(stream)
         errs = err_rows(m).select("conv_id", "turn_idx", "ts", F.col("err.*"))
         return (

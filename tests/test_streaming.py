@@ -844,3 +844,50 @@ def test_window_assembly_matches_v1(spark, tmp_path):
             assembly="window",
             max_turns_per_bundle=10,
         ).run_harmonization(spark, inp, os.path.join(tmp, "ck_bad"))
+
+
+def test_dedup_turns_absorbs_at_least_once_redelivery(spark, tmp_path):
+    """The reference's notification source (Pub/Sub) is at-least-once: the
+    same turn can arrive twice. With dedup_turns=True the pipeline drops
+    duplicate (conv_id, turn_idx) within the watermark BEFORE mapping, so
+    redelivered turns double-count neither in bundles nor dead letters —
+    output must equal the clean single-delivery golden run."""
+    tmp = str(tmp_path)
+    clean = os.path.join(tmp, "clean")
+    src = _write_input(spark, clean, total_turns=200)
+    golden = _run_pipeline(spark, os.path.join(tmp, "g"), clean)
+    want = {
+        (r["conv_id"], r["n_turns"], r["bundle"])
+        for r in golden.bundles(spark).collect()
+    }
+    want_dl = golden.deadletter(spark).count()
+
+    # redelivered input: every turn written twice (second copy in separate
+    # files, so some duplicates even cross micro-batch boundaries)
+    dup = os.path.join(tmp, "dup")
+    fresh = spark.read.parquet(clean).where(
+        F.col("conv_id") != "conv-sentinel"
+    )
+    fresh.write.mode("overwrite").parquet(dup)
+    fresh.write.mode("append").parquet(dup)
+    append_flush_sentinel(spark, dup)
+
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out2"),
+        session_gap="2 minutes",
+        watermark_delay="36 hours",
+        trigger={"availableNow": True},
+        max_files_per_trigger=4,
+        dedup_turns=True,
+    )
+    q1 = pipe.run_harmonization(spark, dup, os.path.join(tmp, "c1"))
+    q2 = pipe.run_deadletter(spark, dup, os.path.join(tmp, "c2"))
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    got = {
+        (r["conv_id"], r["n_turns"], r["bundle"])
+        for r in pipe.bundles(spark).collect()
+    }
+    assert got == want
+    assert pipe.deadletter(spark).count() == want_dl
