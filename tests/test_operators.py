@@ -629,3 +629,35 @@ def test_pack_sequences_running_offset_binning(spark):
     # group 1 restarts at offset 0
     assert got[(10, 0)]["grp"] == 1
     assert got[(10, 0)]["seq_id"] == 0 and got[(10, 0)]["seq_offset"] == 0
+
+
+def test_lsh_topk_recall_on_clustered_corpus(spark):
+    """Banded multi-table LSH recall vs exact brute force on clustered
+    data — the any-band candidate rule must keep recall high while only
+    (id, band, bucket) triples shuffle."""
+    import numpy as np
+
+    from healthcare_data_harmonization_dataflow_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0.0, 1.0, (8, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i // 50]
+        v = (c + rng.normal(0.0, 0.05, 16)).astype("float32").tolist()
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(emb, queries, k=5, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"banded-LSH recall {recall:.3f} < 0.9"

@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--available-now", action="store_true",
                     help="bounded run: drain what exists, then stop")
     ap.add_argument("--error-shards", type=int, default=10)
+    ap.add_argument("--dedup-turns", action="store_true",
+                    help="absorb at-least-once source redelivery: drop "
+                         "duplicate (conv_id, turn_idx) within the watermark "
+                         "before mapping (Pub/Sub semantics)")
     ap.add_argument("--assembly", default="state_v1",
                     choices=["state_v1", "window", "tws"],
                     help="session assembly: applyInPandasWithState (default;"
@@ -94,6 +98,7 @@ def main() -> None:
         trigger=trigger,
         error_shards=args.error_shards,
         assembly=args.assembly,
+        dedup_turns=args.dedup_turns,
         max_turns_per_bundle=args.max_turns_per_bundle,
         enable_performance_metrics=args.enable_performance_metrics,
     )
