@@ -366,3 +366,46 @@ def test_required_backends_agree_on_arbitrary_input(spark, payloads):
             for r in apply_mapping(df, REQ_CFG, backend=backend, clock=clock).collect()
         }
     assert snap("columns") == snap("pandas")
+
+
+# curation under structural fuzz: dedup_lines must agree with a trivial
+# pure-python reference model on arbitrary small corpora (line content
+# arbitrary unicode sans newline; corpus shapes adversarial: shared lines,
+# all-boilerplate docs, empty docs)
+_line = st.text(
+    alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+    max_size=8,
+)
+_doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_doc, min_size=1, max_size=8), st.integers(2, 4))
+def test_dedup_lines_matches_reference_model(spark, docs, min_docs):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        dedup_lines,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_removed"])
+        for r in dedup_lines(df, min_docs=min_docs).collect()
+    }
+
+    # reference model: line -> #distinct docs; keep below-threshold lines
+    from collections import Counter
+
+    per_doc = {i: d.split("\n") for i, d in rows}
+    counts = Counter()
+    for i, ls in per_doc.items():
+        for l in set(ls):
+            counts[l] += 1
+    for i, ls in per_doc.items():
+        keep = [l for l in ls if counts[l] < min_docs]
+        removed = len(ls) - len(keep)
+        assert got[i] == ("\n".join(keep), removed), (i, ls)
