@@ -154,6 +154,9 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
                 out_dir=os.path.join(root, "out"),
                 trigger={"availableNow": True},
                 assembly=assembly,
+                # BENCH_DEDUP=1: measure the at-least-once redelivery
+                # absorption (dropDuplicatesWithinWatermark) in the path
+                dedup_turns=os.environ.get("BENCH_DEDUP") == "1",
                 max_files_per_trigger=max_files,  # bounds rows per micro-batch
                 # the generator's conversations START anywhere in a 24h span
                 # (plus rare 1h-late rows), so the correctness watermark must

@@ -891,3 +891,31 @@ def test_dedup_turns_absorbs_at_least_once_redelivery(spark, tmp_path):
     }
     assert got == want
     assert pipe.deadletter(spark).count() == want_dl
+
+
+def test_dedup_turns_with_window_assembly(spark, tmp_path):
+    """dedup_turns sets the watermark at the source; the pure-JVM
+    session_window assembly must then skip its own (re-definition is
+    rejected) and still produce redelivery-clean bundles."""
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    src = _write_input(spark, inp, total_turns=120, with_sentinel=False)
+    src.write.mode("append").parquet(inp)  # everything twice
+    append_flush_sentinel(spark, inp)
+
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        session_gap="2 minutes",
+        watermark_delay="36 hours",
+        trigger={"availableNow": True},
+        assembly="window",
+        dedup_turns=True,
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ck"))
+    q.awaitTermination(300)
+    total = pipe.bundles(spark).agg(F.sum("n_turns")).collect()[0][0]
+    # 120 unique turns delivered twice; only the ok-branch unique ones land
+    assert total is not None and total <= 120
+    dup_check = pipe.bundles(spark).groupBy("conv_id").count()
+    assert dup_check.count() > 0
