@@ -1028,6 +1028,22 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(chunks, seq_len=64, group_size=100)
 
 
+def q_contamination_ngram(spark, sf_dir):
+    """13-gram hash decontamination (operators/curation.py): distinct
+    md5'd 13-gram overlap of every document against a broadcast benchmark
+    blocklist (grams of ~1% of docs) — the GPT-3/PaLM eval-overlap
+    method; only 16-byte hashes move, text never shuffles."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        ngram_contamination,
+        ngram_hashes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    blocklist = ngram_hashes(bench, n=13).select("gram").distinct()
+    return ngram_contamination(docs, blocklist, n=13)
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1115,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_pii_scrub": q_text_pii_scrub,
         "contamination_flag": q_contamination_flag,
+        "contamination_ngram": q_contamination_ngram,
         "stratified_sample": q_stratified_sample,
         "dedup_lines": q_dedup_lines,
         "doc_chunks": q_doc_chunks,
@@ -1585,6 +1602,30 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": T.fingerprint_oracle_sql(),
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle(),
+        "contamination_ngram": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+              FROM documents),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 12, 0))) AS i
+              FROM t),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS g
+              FROM idx),
+            blocklist AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0),
+            hits AS (
+              SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM grams g2 JOIN blocklist b ON g2.g = b.g
+              GROUP BY g2.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_gram_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_pii_scrub",
     "contamination_flag",
+    "contamination_ngram",
     "stratified_sample",
     "dedup_lines",
     "doc_chunks",

@@ -284,3 +284,57 @@ def pack_sequences(
             (start % F.lit(seq_len)).cast("long").alias("seq_offset"),
         )
     )
+
+
+def ngram_hashes(
+    docs: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """Per-document DISTINCT hashes of word n-grams (md5 of the
+    space-joined window). The canonical decontamination unit: eval sets
+    are fingerprinted the same way and overlap is exact n-gram identity.
+    Returns (doc_id, gram) — 16-byte hashes only, never gram text."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # sequence(1, ub) DESCENDS when ub < 1 (Spark default step -1), so a
+    # short document must yield an empty window list, not [1, 0]
+    ub = F.size(toks) - (n - 1)
+    starts = F.when(ub >= 1, F.sequence(F.lit(1), ub)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame, blocklist: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """GPT-3/PaLM-style eval decontamination: count how many distinct
+    n-gram hashes of each document collide with a benchmark blocklist.
+
+    ``blocklist`` is a (gram) table of the eval sets' n-gram hashes —
+    SMALL relative to the corpus, so it is broadcast and the corpus's
+    grams are semi-probed without shuffling text or grams; only the
+    (doc_id, matched-gram) pairs reach the per-document count. Returns
+    (doc_id, n_gram_hits, contaminated) for EVERY document (0/false when
+    clean).
+    """
+    hits = (
+        ngram_hashes(docs, n=n, text_col=text_col)
+        .join(F.broadcast(blocklist.select("gram")), "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("gram").cast("long").alias("n_gram_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
+            (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -661,3 +661,31 @@ def test_lsh_topk_recall_on_clustered_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"banded-LSH recall {recall:.3f} < 0.9"
+
+
+def test_ngram_contamination_hash_overlap(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        ngram_contamination,
+        ngram_hashes,
+    )
+
+    base = "a b c d e f g h i j k l m"  # exactly 13 tokens -> one 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra tail words"),  # contains the benchmark gram
+            (2, "totally different words " * 4),
+            (3, base),  # the benchmark doc itself
+            (4, "short doc"),  # < 13 tokens -> no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    blocklist = ngram_hashes(docs.where("doc_id = 3"), n=13).select("gram")
+    got = {
+        r["doc_id"]: (r["n_gram_hits"], r["contaminated"])
+        for r in ngram_contamination(docs, blocklist, n=13).collect()
+    }
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3][1] is True
+    assert got[4] == (0, False)  # short docs are clean, not an error
+    assert len(got) == 4  # every doc reported
