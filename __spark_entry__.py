@@ -1044,6 +1044,43 @@ def q_contamination_ngram(spark, sf_dir):
     return ngram_contamination(docs, blocklist, n=13)
 
 
+def q_corpus_curate_v2(spark, sf_dir):
+    """The round-3 curation stages composed end-to-end: PII-augmented text
+    -> scrub (regexp codegen) -> per-language stratified sample (md5 gate,
+    broadcast rates) -> 32/8 token chunking (per-row HOFs) -> 64-token
+    sequence packing (one grouped window shuffle). The whole pipeline is
+    one scan + one broadcast join + one window shuffle."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+        pack_sequences,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ssn 123-45-"),
+            four,
+        ).alias("text"),
+    )
+    scrubbed = scrub_pii(aug).select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
+    rates = spark.createDataFrame(
+        _SAMPLE_RATES, "lang string, keep_permille int"
+    )
+    sampled = stratified_sample(scrubbed, rates)
+    chunks = chunk_documents(sampled, chunk_tokens=32, overlap=8)
+    return pack_sequences(chunks, seq_len=64, group_size=100)
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1136,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "corpus_curate_v2": q_corpus_curate_v2,
         "tablerow_json": q_tablerow_json,
     }
 
@@ -1625,6 +1663,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) AS BIGINT) AS n_gram_hits,
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "corpus_curate_v2": """
+            WITH aug AS (
+              SELECT doc_id, lang,
+                     concat(text, ' contact user', doc_id,
+                            '@mail.example.com ssn 123-45-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+              FROM documents),
+            scrubbed AS (
+              SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), '\b\(?\d{3}\)?[ -]\d{3}-\d{4}\b', '<PHONE>', 'g') AS text FROM aug),
+            rates(lang, keep_permille) AS (
+              VALUES ('en', 300), ('es', 650), ('de', 1000), ('fr', 120)),
+            sampled AS (
+              SELECT s.doc_id, s.text FROM scrubbed s
+              JOIN rates r USING (lang)
+              WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 1000
+                    < r.keep_permille),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+              FROM sampled),
+            st AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+              FROM t),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(start // 24 AS BIGINT) AS chunk_idx,
+                     CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
+              FROM st),
+            packed AS (
+              SELECT CAST(doc_id // 100 AS BIGINT) AS grp, doc_id, chunk_idx, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY doc_id // 100
+                                         ORDER BY doc_id, chunk_idx
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM chunks)
+            SELECT grp,
+                   CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+                   doc_id, chunk_idx, n_tokens,
+                   CAST((cum - n_tokens) % 64 AS BIGINT) AS seq_offset
+            FROM packed
         """,
         "pack_sequences": """
             WITH t AS (

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "doc_chunks",
     "pack_sequences",
+    "corpus_curate_v2",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",
