@@ -409,3 +409,97 @@ def test_dedup_lines_matches_reference_model(spark, docs, min_docs):
         keep = [l for l in ls if counts[l] < min_docs]
         removed = len(ls) - len(keep)
         assert got[i] == ("\n".join(keep), removed), (i, ls)
+
+
+# chunking + packing under fuzz vs pure-python reference models: window
+# arithmetic (strides, short tails, empty docs) and running-offset binning
+# (straddles, group restarts) must hold on arbitrary corpora
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.text("abc", min_size=1, max_size=3), max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 6),
+    st.integers(0, 4),
+)
+def test_chunk_documents_matches_reference_model(spark, docs, chunk, overlap):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    }
+    want = {}
+    for i, d in enumerate(docs):
+        toks = [w for w in d.split(" ") if w]
+        starts = list(range(0, max(len(toks) - 1, 0) + 1, stride)) or [0]
+        # sequence(0, greatest(n-1,0), stride): inclusive upper bound
+        starts = [s for s in starts if s <= max(len(toks) - 1, 0)]
+        for ci, s0 in enumerate(starts):
+            win = toks[s0 : s0 + chunk]
+            want[(i, ci)] = (
+                " ".join(win),
+                min(chunk, max(len(toks) - s0, 0)),
+            )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),  # doc_id
+            st.integers(0, 3),  # chunk_idx
+            st.integers(0, 9),  # n_tokens
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(2, 12),
+    st.integers(1, 8),
+)
+def test_pack_sequences_matches_reference_model(spark, chunks, seq_len, gsize):
+    from collections import defaultdict
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        chunks, "doc_id long, chunk_idx long, n_tokens long"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["grp"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(df, seq_len=seq_len, group_size=gsize).collect()
+    }
+    by_grp = defaultdict(list)
+    for d, c, n in chunks:
+        by_grp[d // gsize].append((d, c, n))
+    want = {}
+    for g, items in by_grp.items():
+        cum = 0
+        for d, c, n in sorted(items):
+            want[(d, c)] = (g, cum // seq_len, cum % seq_len)
+            cum += n
+    assert got == want
