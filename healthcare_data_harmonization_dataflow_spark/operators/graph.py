@@ -79,18 +79,20 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the improvement flag rides along in the same pass, so convergence
+        # needs only a filter-count over the checkpointed result — not a
+        # second labels join per round
         new_labels = (
             labels.join(neigh, "s", "left")
-            .select("s", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "s",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("ch"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "s")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("ch").count()
+        labels = new_labels.drop("ch")
         if changed == 0:
             break
 
