@@ -1081,6 +1081,58 @@ def q_corpus_curate_v2(spark, sf_dir):
     return pack_sequences(chunks, seq_len=64, group_size=100)
 
 
+def _corpus_curate_v2_oracle() -> str:
+    # built from the SHARED pii pattern constants (never baked as literal
+    # SQL: a pattern fix must flow into this oracle automatically)
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        pii_oracle_exprs,
+    )
+
+    clean = pii_oracle_exprs()["clean_text"]
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, lang,
+                 concat(text, ' contact user', doc_id,
+                        '@mail.example.com ssn 123-45-',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+          FROM documents),
+        scrubbed AS (
+          SELECT doc_id, lang, {clean} AS text FROM aug),
+        rates(lang, keep_permille) AS (
+          VALUES ('en', 300), ('es', 650), ('de', 1000), ('fr', 120)),
+        sampled AS (
+          SELECT s.doc_id, s.text FROM scrubbed s
+          JOIN rates r USING (lang)
+          WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 1000
+                < r.keep_permille),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w != '') AS toks
+          FROM sampled),
+        st AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+          FROM t),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(start // 24 AS BIGINT) AS chunk_idx,
+                 CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
+          FROM st),
+        packed AS (
+          SELECT CAST(doc_id // 100 AS BIGINT) AS grp, doc_id, chunk_idx, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY doc_id // 100
+                                     ORDER BY doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM chunks)
+        SELECT grp,
+               CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+               doc_id, chunk_idx, n_tokens,
+               CAST((cum - n_tokens) % 64 AS BIGINT) AS seq_offset
+        FROM packed
+    """
+
+
 def _stratified_sample_oracle() -> str:
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         stratified_sample_oracle_sql,
@@ -1664,48 +1716,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
-        "corpus_curate_v2": """
-            WITH aug AS (
-              SELECT doc_id, lang,
-                     concat(text, ' contact user', doc_id,
-                            '@mail.example.com ssn 123-45-',
-                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
-              FROM documents),
-            scrubbed AS (
-              SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), '\b\(?\d{3}\)?[ -]\d{3}-\d{4}\b', '<PHONE>', 'g') AS text FROM aug),
-            rates(lang, keep_permille) AS (
-              VALUES ('en', 300), ('es', 650), ('de', 1000), ('fr', 120)),
-            sampled AS (
-              SELECT s.doc_id, s.text FROM scrubbed s
-              JOIN rates r USING (lang)
-              WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 1000
-                    < r.keep_permille),
-            t AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), w -> w != '') AS toks
-              FROM sampled),
-            st AS (
-              SELECT doc_id, toks, len(toks) AS n,
-                     unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
-              FROM t),
-            chunks AS (
-              SELECT doc_id,
-                     CAST(start // 24 AS BIGINT) AS chunk_idx,
-                     CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
-              FROM st),
-            packed AS (
-              SELECT CAST(doc_id // 100 AS BIGINT) AS grp, doc_id, chunk_idx, n_tokens,
-                     SUM(n_tokens) OVER (PARTITION BY doc_id // 100
-                                         ORDER BY doc_id, chunk_idx
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS cum
-              FROM chunks)
-            SELECT grp,
-                   CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
-                   doc_id, chunk_idx, n_tokens,
-                   CAST((cum - n_tokens) % 64 AS BIGINT) AS seq_offset
-            FROM packed
-        """,
+        "corpus_curate_v2": _corpus_curate_v2_oracle(),
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -32,10 +32,13 @@ from pyspark.sql import functions as F
 # Shared Java/RE2-compatible PII patterns (both dialects: no lookaround, no
 # backrefs, ASCII \b). Replacement order matters: emails first (their local
 # part may contain digit runs), then SSNs (the more specific dashed-digit
-# shape), then phones.
+# shape), then phones. PHONE_RE handles the parenthesized area-code form as
+# an explicit alternative — `\b\(?` would make the paren unmatchable dead
+# syntax (\b cannot hold between two non-word chars) and leave a stray '('
+# after redaction.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
-PHONE_RE = r"\b\(?\d{3}\)?[ -]\d{3}-\d{4}\b"
+PHONE_RE = r"(?:\(\d{3}\)|\b\d{3})[ -]\d{3}-\d{4}\b"
 
 _KINDS = (("email", EMAIL_RE), ("ssn", SSN_RE), ("phone", PHONE_RE))
 
@@ -43,33 +46,38 @@ _KINDS = (("email", EMAIL_RE), ("ssn", SSN_RE), ("phone", PHONE_RE))
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / SSNs / phone numbers from ``text_col`` and count each
     kind. Adds ``clean_text`` plus ``n_<kind>`` long columns; everything is
-    a Catalyst regexp expression (zero Python)."""
-    t = F.col(text_col)
+    a Catalyst regexp expression (zero Python).
+
+    Counts are SEQUENTIAL like the redaction: each kind is counted on the
+    text with the earlier kinds already replaced, so ``n_<kind>`` equals
+    exactly the number of ``<KIND>`` tokens emitted (a phone-shaped digit
+    run inside an email address counts as the email it was redacted as,
+    never as a phantom phone)."""
+    stage: Column = F.col(text_col)
     out = docs
     for kind, pat in _KINDS:
         out = out.withColumn(
             f"n_{kind}",
-            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long"),
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
         )
-    clean: Column = t
-    for kind, pat in _KINDS:
-        clean = F.regexp_replace(clean, F.lit(pat), F.lit(f"<{kind.upper()}>"))
-    return out.withColumn("clean_text", clean)
+        stage = F.regexp_replace(stage, F.lit(pat), F.lit(f"<{kind.upper()}>"))
+    return out.withColumn("clean_text", stage)
 
 
 def pii_oracle_exprs(text_expr: str = "text") -> dict[str, str]:
     """DuckDB expressions computing the same counts/redaction (RE2; the 'g'
-    flag makes regexp_replace global like Spark's)."""
-    out = {
-        f"n_{kind}": (
-            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT)"
-        )
-        for kind, pat in _KINDS
-    }
-    clean = text_expr
+    flag makes regexp_replace global like Spark's). Mirrors scrub_pii's
+    sequential count-then-replace staging exactly."""
+    out = {}
+    stage = text_expr
     for kind, pat in _KINDS:
-        clean = f"regexp_replace({clean}, '{pat}', '<{kind.upper()}>', 'g')"
-    out["clean_text"] = clean
+        out[f"n_{kind}"] = (
+            f"CAST(len(regexp_extract_all({stage}, '{pat}')) AS BIGINT)"
+        )
+        stage = f"regexp_replace({stage}, '{pat}', '<{kind.upper()}>', 'g')"
+    out["clean_text"] = stage
     return out
 
 
@@ -82,9 +90,16 @@ def contamination_flags(
     broadcast, and each (document, snippet) pair costs one substring scan
     inside the join's nested loop — the corpus side never shuffles for the
     probe. Returns (doc_id, n_hits, contaminated); only the 16-byte
-    (doc_id, hit) pairs shuffle for the per-document count.
+    (doc_id, hit) pairs shuffle for the per-document count. The blocklist
+    is deduplicated here (repeated snippet rows would fan out the join and
+    inflate counts) and empty snippets are dropped (contains('') is true
+    for every document).
     """
-    snip = snippets.select(F.col("snip"))
+    snip = (
+        snippets.select(F.col("snip"))
+        .where(F.length("snip") > 0)
+        .distinct()
+    )
     joined = docs.select("doc_id", F.col(text_col).alias("__t")).join(
         F.broadcast(snip), F.col("__t").contains(F.col("snip")), "left"
     )
@@ -123,8 +138,14 @@ def stratified_sample(
         ).cast("long")
         % 1000
     )
+    # hygiene: only the two relevant columns join in (extra rates columns
+    # must not leak into the corpus), and duplicate stratum rows would
+    # duplicate corpus rows via join fan-out
+    r = rates.select(stratum_col, "keep_permille").dropDuplicates(
+        [stratum_col]
+    )
     return (
-        docs.join(F.broadcast(rates), on=stratum_col, how="inner")
+        docs.join(F.broadcast(r), on=stratum_col, how="inner")
         .where(gate < F.col("keep_permille"))
         .drop("keep_permille")
     )
@@ -136,8 +157,11 @@ def stratified_sample_oracle_sql(
     id_col: str = "doc_id",
 ) -> str:
     """DuckDB SQL reproducing stratified_sample exactly (same md5-prefix
-    gate), with the rates inlined as a VALUES list."""
-    vals = ", ".join(f"('{s}', {p})" for s, p in rates)
+    gate), with the rates inlined as a VALUES list (values SQL-escaped)."""
+    vals = ", ".join(
+        "('{}', {})".format(str(s).replace("'", "''"), int(p))
+        for s, p in rates
+    )
     return f"""
         WITH rates({stratum_col}, keep_permille) AS (VALUES {vals})
         SELECT d.* FROM documents d
@@ -155,11 +179,12 @@ def dedup_lines(
     pass — navigation chrome, cookie banners, footers).
 
     Scale shape (100 TB honest): lines explode WITH their position; the
-    frequency count groups on a 16-byte md5 of the line, never shuffling
-    text for the count; the verdict joins back on the same hash (text
-    travels exactly once, to its reassembly reducer); reassembly is one
-    groupBy(doc) with sort_array over (pos, line) structs. Two shuffles of
-    the corpus total — the floor for a global-frequency rewrite. Returns
+    frequency count moves only (16-byte md5, doc_id) pairs — never text;
+    the verdict is a hash join (text crosses the wire here) and reassembly
+    is ONE aggregation computing clean_text and the removal count together
+    (sort_array over (pos, line, boiler) structs, boilerplate filtered
+    in-array) — so text crosses the wire exactly twice (verdict join +
+    reassembly reducer), the floor for a global-frequency rewrite. Returns
     (doc_id, clean_text, n_lines_removed).
     """
     lines = docs.select(
@@ -173,32 +198,28 @@ def dedup_lines(
         .select("lh", F.lit(True).alias("boiler"))
     )
     marked = lines.join(freq, "lh", "left")
-    kept = (
-        marked.where(F.col("boiler").isNull())
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
+    # ONE aggregation computes both outputs (separate kept/removed
+    # aggregates could not share the exchange, so the explode+join pipeline
+    # would execute twice and a third doc_id join-shuffle would merge them):
+    # collect (pos, line, boiler) structs, sort by pos, drop boilerplate
+    # in-array. A doc whose every line was boilerplate naturally yields an
+    # empty clean_text (filter -> empty array -> concat_ws -> "").
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "line", "boiler"))
+                    ),
+                    lambda s: s["boiler"].isNull(),
                 ),
-            ).alias("clean_text")
-        )
-    )
-    removed = marked.groupBy("doc_id").agg(
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
         F.sum(F.when(F.col("boiler").isNotNull(), 1).otherwise(0))
         .cast("long")
-        .alias("n_lines_removed")
-    )
-    # a doc whose every line was boilerplate keeps an empty clean_text
-    return (
-        removed.join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_lines_removed",
-        )
+        .alias("n_lines_removed"),
     )
 
 
@@ -209,9 +230,15 @@ def chunk_documents(
     text_col: str = "text",
 ) -> DataFrame:
     """Split each document into overlapping token-window chunks — the
-    training-prep pass before packing/tokenization. Tokens are whitespace
-    words; windows start every ``chunk_tokens - overlap`` tokens; the last
-    window may be short; an empty document yields one empty chunk.
+    training-prep pass before packing/tokenization. Tokens are SPACE-
+    separated words (the corpus-wide convention shared with the dedup and
+    text operators — normalize newlines/tabs upstream if the corpus uses
+    them); windows start every ``chunk_tokens - overlap`` tokens; the last
+    window may be short; an empty document yields one empty chunk. The
+    stride is uniform by design: a trailing window whose start falls inside
+    the previous window's coverage is still emitted (it is a suffix of the
+    previous chunk), keeping chunk_idx = start // stride exact for random
+    access; drop `chunk_idx = last` downstream if suffix tails are unwanted.
 
     Entirely per-row higher-order functions (split / sequence / transform /
     slice) followed by one posexplode: NO shuffle at any size — chunking a
@@ -264,6 +291,15 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    id_type = dict(chunks.dtypes).get("doc_id", "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # a string/UUID id would cast to NULL in the division, silently
+        # collapsing the whole corpus into ONE window partition — the exact
+        # serialization grouping exists to avoid; fail loudly instead
+        raise ValueError(
+            f"pack_sequences needs an integral doc_id (got {id_type!r}); "
+            "derive one first, e.g. xxhash64(doc_id)"
+        )
     w = (
         Window.partitionBy("grp")
         .orderBy("doc_id", "chunk_idx")
@@ -290,9 +326,10 @@ def ngram_hashes(
     docs: DataFrame, n: int = 13, text_col: str = "text"
 ) -> DataFrame:
     """Per-document DISTINCT hashes of word n-grams (md5 of the
-    space-joined window). The canonical decontamination unit: eval sets
-    are fingerprinted the same way and overlap is exact n-gram identity.
-    Returns (doc_id, gram) — 16-byte hashes only, never gram text."""
+    space-joined window; words are SPACE-separated — the corpus-wide
+    tokenization convention). The canonical decontamination unit: eval
+    sets are fingerprinted the same way and overlap is exact n-gram
+    identity. Returns (doc_id, gram) — 16-byte hashes only, never text."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     # sequence(1, ub) DESCENDS when ub < 1 (Spark default step -1), so a
     # short document must yield an empty window list, not [1, 0]
@@ -325,7 +362,9 @@ def ngram_contamination(
     """
     hits = (
         ngram_hashes(docs, n=n, text_col=text_col)
-        .join(F.broadcast(blocklist.select("gram")), "gram", "inner")
+        # dedupe here, not at call sites: repeated blocklist grams (two eval
+        # docs sharing a 13-gram) would fan out the join and inflate counts
+        .join(F.broadcast(blocklist.select("gram").distinct()), "gram", "inner")
         .groupBy("doc_id")
         .agg(F.count("gram").cast("long").alias("n_gram_hits"))
     )

@@ -689,3 +689,45 @@ def test_ngram_contamination_hash_overlap(spark):
     assert got[3][1] is True
     assert got[4] == (0, False)  # short docs are clean, not an error
     assert len(got) == 4  # every doc reported
+
+
+def test_scrub_pii_paren_phone_and_sequential_counts(spark):
+    """Review-found fixes: (1) '\\b\\(?' made the paren unmatchable, leaving
+    a stray '(' after redacting '(555) 867-5309'; (2) counts computed on the
+    ORIGINAL text could report a phone that was actually redacted as part of
+    an email. Counts must equal emitted tokens exactly."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "call (555) 867-5309 now"),
+            # the email swallows the phone-shaped digits: email counts 1,
+            # phone counts 0, and no phantom <PHONE> token appears
+            (2, "reach 555-123-4567@example.org today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["clean_text"] == "call <PHONE> now"  # paren consumed
+    assert rows[1]["n_phone"] == 1
+    assert rows[2]["n_email"] == 1 and rows[2]["n_phone"] == 0
+    assert rows[2]["clean_text"] == "reach <EMAIL> today"
+    for r in rows.values():  # counts == emitted tokens, per kind
+        for kind in ("email", "ssn", "phone"):
+            assert r[f"n_{kind}"] == r["clean_text"].count(f"<{kind.upper()}>")
+
+
+def test_pack_sequences_rejects_non_integral_doc_id(spark):
+    import pytest as _pytest
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    chunks = spark.createDataFrame(
+        [("uuid-a", 0, 4)], "doc_id string, chunk_idx long, n_tokens long"
+    )
+    with _pytest.raises(ValueError, match="integral doc_id"):
+        pack_sequences(chunks)
