@@ -57,6 +57,7 @@ class CompiledMapping:
     def __init__(self, config_text: str):
         self.config_text = config_text
         self.config: MappingConfig = parse_mapping_config(config_text)
+        _validate_literal_builtin_args(self.config)
         self._py = _compile_python(self.config)
 
     # ---------------------------------------------------------- column backend
@@ -128,9 +129,25 @@ class CompiledMapping:
         }
         for name, vexpr in self.config.vars:  # top-level var bindings
             env[name] = _compile_expr(self.config, vexpr, env)
-        targets: dict[str, list[Column]] = {}
+        raw: dict[str, list] = {}
         for tgt, expr in self.config.outs:
-            targets.setdefault(tgt, []).append(_render(_compile_expr(self.config, expr, env)))
+            raw.setdefault(tgt, []).append(_compile_expr(self.config, expr, env))
+        targets: dict[str, list[Column]] = {}
+        for tgt, vals in raw.items():
+            # multiple writes to one target build ONE F.array — whose
+            # elements must share a SQL type. Mixed kinds (a projector
+            # struct next to a string, or two differently-shaped structs)
+            # would pass this lazy build and explode at ANALYSIS time
+            # inside apply_mapping, breaking the backend='auto' fallback
+            # contract — so reject them here, where supports_columns sees it
+            if len(vals) > 1:
+                kinds = {_render_kind(v) for v in vals}
+                if len(kinds) > 1:
+                    raise MappingConfigError(
+                        f"column backend: out target '{tgt}' mixes value "
+                        f"kinds {sorted(kinds)} (one array, one SQL type)"
+                    )
+            targets[tgt] = [_render(v) for v in vals]
         fields = []
         for tgt, items in targets.items():
             # Whistle appends only PRODUCED values to an out target: a
@@ -245,6 +262,83 @@ def _time_fmt(node, what: str, need_full_date: bool = False) -> str:
     return s
 
 
+def _render_kind(v) -> str:
+    """Coarse SQL-type class of a compiled value's rendering, for
+    same-array compatibility checks: projector structs carry their SHAPE
+    (two different field sets are two different struct types)."""
+    if isinstance(v, _StructVal):
+        def shape(tree):
+            return tuple(
+                (k, shape(sub[1]) if sub[0] == "node" else sub[0])
+                for k, sub in tree.items()
+            )
+
+        return f"struct{shape(v.tree)!r}"
+    if isinstance(v, _StrCol):
+        return "string"
+    if isinstance(v, _BoolCol):
+        return "bool"
+    if isinstance(v, _ArrCol):
+        return f"array<{v.elem}>"
+    if isinstance(v, _StrArr):
+        return "array<string>"
+    return "variant"
+
+
+def _check_regex_literal(pat: str) -> None:
+    """Compile-time gate for a literal regex: a pattern python's re rejects
+    would crash the pandas backend mid-job (re.error is not recoverable),
+    violating the fail-fast contract — and Java-only syntax (possessive
+    quantifiers etc.) would silently diverge between backends."""
+    import re as _re
+
+    try:
+        _re.compile(pat)
+    except _re.error as e:
+        raise MappingConfigError(f"$MatchesRegex: invalid pattern {pat!r}: {e}")
+
+
+def _walk_exprs(cfg: MappingConfig):
+    """Yield every expression node in the config (outs, vars, projector
+    fields and projector-local vars), depth-first."""
+    stack = [e for _, e in cfg.outs]
+    stack.extend(e for _, e in cfg.vars)
+    for proj in cfg.projectors.values():
+        stack.extend(f[1] for f in proj.fields)
+        stack.extend(e for _, e in proj.vars)
+    while stack:
+        e = stack.pop()
+        yield e
+        if isinstance(e, (Call, Builtin)):
+            stack.extend(e.args)
+        elif isinstance(e, Arr):
+            stack.extend(e.items)
+        elif isinstance(e, Iterate):
+            stack.append(e.path)
+        elif isinstance(e, Where):
+            stack.append(e.base)
+            stack.append(e.pred)
+
+
+def _validate_literal_builtin_args(cfg: MappingConfig) -> None:
+    """Fail-fast checks on LITERAL builtin arguments shared by BOTH
+    backends (the per-backend compiles re-check, but a pandas-only config
+    must also reject garbage before data flows)."""
+    for e in _walk_exprs(cfg):
+        if not isinstance(e, Builtin):
+            continue
+        if e.name == "$MatchesRegex" and len(e.args) == 2:
+            a = e.args[1]
+            if isinstance(a, Lit) and isinstance(a.value, str):
+                _check_regex_literal(a.value)
+        if e.name == "$StrSplit" and len(e.args) == 2:
+            a = e.args[1]
+            if isinstance(a, Lit) and a.value == "":
+                raise MappingConfigError(
+                    "$StrSplit delimiter must be non-empty"
+                )
+
+
 def _strfmt_segments(fmt: str) -> "tuple[list[str | None], int]":
     """Split a $StrFmt pattern into literal segments and %s slots (None
     entries); %% escapes a percent. Any other directive is outside the
@@ -298,6 +392,24 @@ _EPOCH_SECS_MAX = 253402300799  # 9999-12-31T23:59:59
 _LAMBDA_VAR = __import__("re").compile(r"\bx_\d+\b")
 
 
+def _norm_expr_key(s: str) -> str:
+    """Normalize an expression string into a CSE key: fresh lambda-variable
+    ids (x_N) are masked so structurally-equal trees compare equal — but
+    ONLY outside single-quoted literals. Data field names like `x_1`/`x_2`
+    appear inside quoted path literals ('$.x_1'); masking them too would
+    conflate DISTINCT source paths into one hoist key and silently emit the
+    same value for different fields."""
+    parts = s.split("'")
+    # even indices are outside quotes (expression text), odd are literal
+    # content — Spark's toString does not escape quotes inside literals,
+    # and a pathological literal merely shifts segments, which can only
+    # make two keys differ (never falsely collide on masked text)
+    return "'".join(
+        _LAMBDA_VAR.sub("x_#", seg) if i % 2 == 0 else seg
+        for i, seg in enumerate(parts)
+    )
+
+
 class _HoistRegistry:
     """Cross-field common-subexpression elimination for the column backend.
 
@@ -313,6 +425,12 @@ class _HoistRegistry:
     repeated trees are kept (a repeated subtree contained in a hoisted one
     rides along). Hoisting is disabled inside lambda scopes (iteration /
     [where] predicates): a hoisted column must be a row-level expression.
+
+    Known limitation: a ``var``-bound expensive expression referenced by
+    several fields registers only ONE visit (the binding compiles once;
+    references reuse the Column object, textually duplicating it), so var
+    reuse is not yet deduplicated — hoisting it needs visits at the Path
+    reference sites plus wrapper-preserving substitution.
     """
 
     def __init__(self, subst: "dict[str, Column] | None" = None):
@@ -320,7 +438,7 @@ class _HoistRegistry:
         self.seen: "dict[str, tuple[int, Column]]" = {}
 
     def visit(self, col: Column) -> Column:
-        key = _LAMBDA_VAR.sub("x_#", col._jc.toString())
+        key = _norm_expr_key(col._jc.toString())
         if self.subst is not None:
             repl = self.subst.get(key)
             return repl if repl is not None else col
@@ -819,6 +937,10 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return _num_render(_str_form(args[0]).try_cast("double"))
         if expr.name == "$StrSplit":
             d = _lit_str(expr.args[1], "$StrSplit delimiter")
+            if d == "":
+                # python str.split('') raises; Java splits per character —
+                # neither is a sane contract, so fail fast at compile
+                raise MappingConfigError("$StrSplit delimiter must be non-empty")
             import re as _re
 
             return _ArrCol(
@@ -842,11 +964,13 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             )
         if expr.name == "$MatchesRegex":
             pat = _lit_str(expr.args[1], "$MatchesRegex pattern")
+            _check_regex_literal(pat)
             # full-match semantics (Whistle MatchesRegex); a missing subject
-            # compares false
+            # compares false. \z (absolute end), not $ — Java's $ also
+            # matches before a trailing newline, where re.fullmatch does not
             return _BoolCol(
                 F.coalesce(
-                    _str_form(args[0]).rlike(f"^(?:{pat})$"), F.lit(False)
+                    _str_form(args[0]).rlike(f"^(?:{pat})\\z"), F.lit(False)
                 )
             )
         if expr.name in ("$IsNil", "$IsNotNil"):
@@ -1312,16 +1436,21 @@ def _compile_tree(
             # `path[]:` append targets: produced values only (missing -> SQL
             # NULL is filtered; a JSON null VALUE survives), declaration order
             items = [_compile_expr(cfg, it, env) for it in val]
-            kinds = {type(i) for i in items}
-            scalar = all(
-                isinstance(i, (Column, _StrCol, _BoolCol)) for i in items
-            )
-            if not scalar or len(kinds) > 1:
+            # classify by isinstance, NOT exact type: runtime Columns are a
+            # SUBCLASS (pyspark.sql.classic.column.Column on 4.x), so a
+            # {type(i)} == {Column} comparison can never be true and would
+            # silently mislabel every variant array as 'str'
+            if all(isinstance(i, Column) for i in items):
+                elem = "variant"
+            elif all(isinstance(i, _StrCol) for i in items):
+                elem = "str"
+            elif all(isinstance(i, _BoolCol) for i in items):
+                elem = "bool"
+            else:
                 raise MappingConfigError(
                     "column backend: append-target values must be uniform scalars"
                 )
             cols = [i.col if isinstance(i, (_StrCol, _BoolCol)) else i for i in items]
-            elem = "variant" if kinds == {Column} else "str"
             out[name] = (
                 "leaf",
                 _StrArr([]) if not cols else _ArrCol(
@@ -1603,10 +1732,18 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                 s = _scalar_str(vals[0])
                 if s is _MISSING:
                     return _MISSING
-                try:
-                    return int(s.strip())  # try_cast(long) semantics
-                except ValueError:
+                import re as _re
+
+                s2 = s.strip()
+                # try_cast(long) parity: python int() additionally accepts
+                # underscores ('1_0'), unicode digits and arbitrary
+                # precision — all of which the SQL cast rejects (NULL)
+                if not _re.fullmatch(r"[+-]?[0-9]+", s2):
                     return _MISSING
+                v = int(s2)
+                if not -(2**63) <= v <= 2**63 - 1:
+                    return _MISSING
+                return v
             if expr.name == "$ParseFloat":
                 s = _scalar_str(vals[0])
                 if s is _MISSING or "_" in s:
@@ -1617,8 +1754,8 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                     return _MISSING
             if expr.name == "$StrSplit":
                 s, d = _scalar_str(vals[0]), vals[1]
-                if s is _MISSING or not isinstance(d, str):
-                    return _MISSING
+                if s is _MISSING or not isinstance(d, str) or d == "":
+                    return _MISSING  # ''.split raises; compile rejects it too
                 return s.split(d)
             if expr.name == "$StrJoin":
                 d, arr = vals

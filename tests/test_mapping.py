@@ -1702,3 +1702,102 @@ def test_uuid_pandas_only_random_v4(spark):
             )
             seen.add(out[k])
     assert len(seen) == 4  # fresh per call per row
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_review_fixes_parseint_regex_strsplit(spark, backend):
+    """Review-found divergences: $ParseInt must mirror try_cast(long)
+    exactly (no underscores / unicode digits / >int64); $MatchesRegex must
+    not match a trailing newline (Java's bare $ would); both enforced
+    identically on each backend."""
+    cfg = """
+out O: P(root);
+def P(i) {
+  a: $ParseInt(i.u);
+  b: $ParseInt(i.big);
+  c: $ParseInt(i.ok);
+  m: $MatchesRegex(i.s, "a");
+}
+"""
+    df = spark.createDataFrame(
+        [
+            (
+                "r",
+                '{"u":"1_0","big":"18446744073709551616","ok":" 12 ",'
+                '"s":"a\\n"}',
+            )
+        ],
+        "id string, data string",
+    )
+    got = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    # u and big are nil on BOTH backends now; bare-$ would have made the
+    # column backend say m=true
+    assert got.collect()[0]["ok"] == '{"O":[{"c":12,"m":false}]}'
+
+
+def test_review_fixes_compile_time_rejects(spark):
+    """Garbage literals fail at compile on BOTH backends (fail-fast
+    contract): an invalid regex would crash pandas mid-job; an empty
+    $StrSplit delimiter raises in python and splits-per-char in Java."""
+    with pytest.raises(MappingConfigError, match="invalid pattern"):
+        compile_mapping(
+            'out O: P(root);\ndef P(i) { x: $MatchesRegex(i.s, "("); }'
+        )
+    with pytest.raises(MappingConfigError, match="non-empty"):
+        compile_mapping(
+            'out O: P(root);\ndef P(i) { x: $StrSplit(i.s, ""); }'
+        )
+
+
+def test_review_fix_mixed_out_target_falls_back(spark):
+    """Two writes to one out target with different SQL shapes must decline
+    the column backend at COMPILE time (pandas handles them), not explode
+    at analysis inside apply_mapping."""
+    cfg = """
+out O: P(root);
+out O: $StrCat("x", "y");
+def P(i) { a: i.v; }
+"""
+    eng = compile_mapping(cfg)
+    assert eng.supports_columns() is False
+    df = spark.createDataFrame([("r", '{"v":1}')], "id string, data string")
+    got = ok_rows(apply_mapping(df, cfg, clock=CLOCK)).collect()[0]["ok"]
+    assert got == '{"O":[{"a":1},"xy"]}'
+
+
+def test_review_fix_cse_key_distinguishes_xn_field_names(spark):
+    """CSE keys must not conflate data fields named like lambda variables:
+    x_1 and x_2 are DIFFERENT source paths and must emit different values."""
+    cfg = """
+out O: P(root);
+def P(p) {
+  a: $Sum(p.x_1, 1);
+  b: $Sum(p.x_2, 1);
+}
+"""
+    df = spark.createDataFrame(
+        [("r", '{"x_1":10,"x_2":20}')], "id string, data string"
+    )
+    for backend in ("columns", "pandas"):
+        got = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+        assert got.collect()[0]["ok"] == '{"O":[{"a":11,"b":21}]}'
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_review_fix_variant_append_targets_navigable(spark, backend):
+    """Append targets of data-derived values are variant arrays (the exact
+    type-set check against the Column base class never matched on 4.x and
+    mislabeled them 'str'); element reads must navigate correctly."""
+    cfg = """
+out O: P(root);
+def P(i) {
+  xs[]: i.a;
+  xs[]: i.b;
+  first: dest.xs[0];
+}
+"""
+    df = spark.createDataFrame(
+        [("r", '{"a":{"k":1},"b":2}')], "id string, data string"
+    )
+    got = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    assert got.collect()[0]["ok"] == '{"O":[{"xs":[{"k":1},2],"first":{"k":1}}]}'
