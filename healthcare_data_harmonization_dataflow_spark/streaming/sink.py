@@ -83,12 +83,25 @@ class _LocalFs:
         tmp = path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
+            f.flush()
+            os.fsync(f.fileno())  # marker must survive power loss: the
+            # checkpoint advances after we return, so a lost marker means
+            # a batch that never replays and silently disappears
         os.replace(tmp, path)  # atomic: the commit point
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)  # persist the rename itself
+        finally:
+            os.close(dfd)
 
     def delete(self, path: str) -> None:
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        # strict like _HadoopFs.delete: a swallowed failure here would
+        # silently leak staged batch copies (the exact no-op failure mode
+        # FanOutSink documents); only a missing path is fine
+        if os.path.exists(path):
+            shutil.rmtree(path)
 
     def parquet_rows(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
@@ -237,7 +250,11 @@ class ExactlyOnceParquetSink:
             return  # replayed epoch — exactly-once guard
         out = df
         if self.num_shards:
-            out = out.coalesce(self.num_shards)
+            # repartition, NOT coalesce: coalesce is a narrow dependency
+            # that caps the parallelism of the ENTIRE upstream plan (scan +
+            # mapping) at num_shards; repartition shuffles only the output
+            # rows (error rows are few) and leaves upstream parallelism alone
+            out = out.repartition(self.num_shards)
         # exact row count rides the write itself via an Observation — no
         # second pass, no per-file I/O, fully distributed (the count is
         # aggregated executor-side during the one write job)
@@ -257,9 +274,15 @@ class ExactlyOnceParquetSink:
         # which at 10k-file batches serializes the driver; bytes + the
         # observed exact total carry the same lineage information there.
         lineage = []
-        for i, (fname, size) in enumerate(fs.list_files(path)):
-            if not fname.endswith(".parquet") or fname.startswith((".", "_")):
-                continue
+        data_files = [
+            (fname, size)
+            for fname, size in fs.list_files(path)
+            if fname.endswith(".parquet") and not fname.startswith((".", "_"))
+        ]
+        # fallback index counts DATA files only: enumerating the raw listing
+        # (with _SUCCESS / hidden entries) would shift fallback ids and let
+        # them collide with parsed ones
+        for i, (fname, size) in enumerate(data_files):
             part = {
                 "partition_id": _partition_id(fname, i),
                 "bytes": size,
@@ -271,6 +294,7 @@ class ExactlyOnceParquetSink:
         commit = {
             "batch_id": batch_id,
             "rows": total_rows,
+            "schema": out.schema.json(),  # read_committed's empty-table shape
             "partitions": sorted(lineage, key=lambda p: p["partition_id"]),
             "committed_at": time.time(),
             "sink": self.name,
@@ -304,7 +328,7 @@ class ExactlyOnceParquetSink:
         return sorted(
             int(f[:-5])
             for f in fs.listdir(self._commits_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def lineage(self) -> list[dict]:
@@ -318,14 +342,22 @@ class ExactlyOnceParquetSink:
         if self._spark is None:
             self._spark = spark
         fs = self._fs()
-        paths = [
-            self._data_dir(b)
-            for b in self.committed_batches()
-            if fs.isdir(self._data_dir(b))
-        ]
+        batches = self.committed_batches()
+        paths = [b for b in batches if fs.isdir(self._data_dir(b))]
         if not paths:
-            return spark.createDataFrame([], "conv_id string")  # empty placeholder
-        return spark.read.parquet(*paths)
+            # empty table: recover the real schema from the latest commit
+            # (recorded at write time) so callers can select/filter the
+            # same columns they would on a populated sink
+            from pyspark.sql.types import StructType
+
+            for b in reversed(batches):
+                c = json.loads(fs.read_text(self._commit_path(b)))
+                if "schema" in c:
+                    return spark.createDataFrame(
+                        [], StructType.fromJson(json.loads(c["schema"]))
+                    )
+            return spark.createDataFrame([], "conv_id string")  # no history
+        return spark.read.parquet(*[self._data_dir(b) for b in paths])
 
 
 class FanOutSink:
@@ -352,8 +384,9 @@ class FanOutSink:
 
     def foreach_batch(self):
         def fn(df: DataFrame, batch_id: int):
-            if all(sink.is_committed(batch_id) for sink, _ in self.routes):
-                return  # fully-committed replay: nothing to stage
+            # propagate the session FIRST: is_committed() may be the first
+            # remote-FS access, and the foreachBatch callback thread has no
+            # active session for _HadoopFs to fall back on
             for sink, _ in self.routes:
                 if sink._spark is None:
                     sink._spark = df.sparkSession
@@ -366,6 +399,14 @@ class FanOutSink:
                 else _HadoopFs(df.sparkSession, self.staging_dir)
             )
             staged_path = os.path.join(self.staging_dir, f"batch={batch_id}")
+            if all(sink.is_committed(batch_id) for sink, _ in self.routes):
+                # fully-committed replay: nothing to stage — but a crash
+                # BETWEEN the last route commit and the staging delete may
+                # have orphaned a staged copy; clean it now (batch ids are
+                # never revisited after this)
+                if fs.exists(staged_path):
+                    fs.delete(staged_path)
+                return
             # Reuse an existing COMPLETE staged copy (previous attempt that
             # failed after staging but before all routes committed): with a
             # nondeterministic upstream (e.g. attempt_ingest's real RPCs),

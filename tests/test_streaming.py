@@ -919,3 +919,42 @@ def test_dedup_turns_with_window_assembly(spark, tmp_path):
     assert total is not None and total <= 120
     dup_check = pipe.bundles(spark).groupBy("conv_id").count()
     assert dup_check.count() > 0
+
+
+def test_read_committed_empty_recovers_schema(spark, tmp_path):
+    """Review fix: reading a sink whose data dirs are gone (or a fresh one
+    with commit history) must yield an EMPTY frame with the REAL schema
+    recorded at write time — not a placeholder that breaks select()."""
+    base = os.path.join(str(tmp_path), "s")
+    sink = ExactlyOnceParquetSink(base, "s")
+    df = spark.createDataFrame([("w1", "b1", 3)], "webpath string, bundle string, n int")
+    sink.write_batch(df, 0)
+    got = sink.read_committed(spark)
+    assert got.columns == ["webpath", "bundle", "n"] and got.count() == 1
+    # wipe the data dir but keep the commit: empty frame, same columns
+    import shutil
+
+    shutil.rmtree(os.path.join(base, "data"))
+    empty = sink.read_committed(spark)
+    assert empty.columns == ["webpath", "bundle", "n"]
+    assert empty.count() == 0
+    empty.select("webpath")  # would have been AnalysisException before
+
+
+def test_fanout_cleans_orphaned_staging_on_replay(spark, tmp_path):
+    """Review fix: a crash between the last route commit and the staging
+    delete orphans a full batch copy; the fully-committed replay must
+    clean it instead of leaking it forever."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.sink import FanOutSink
+
+    tmp = str(tmp_path)
+    sink = ExactlyOnceParquetSink(os.path.join(tmp, "out"), "out")
+    staging = os.path.join(tmp, "staging")
+    fan = FanOutSink([(sink, lambda d: d)], staging)
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    fan.foreach_batch()(df, 5)
+    assert not os.path.exists(os.path.join(staging, "batch=5"))
+    # simulate the crash window: batch committed but staging copy left
+    df.write.mode("overwrite").parquet(os.path.join(staging, "batch=5"))
+    fan.foreach_batch()(df, 5)  # fully-committed replay
+    assert not os.path.exists(os.path.join(staging, "batch=5"))
