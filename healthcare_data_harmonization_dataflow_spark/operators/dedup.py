@@ -333,7 +333,13 @@ def ngram_jaccard_pairs(
     picks ``profile`` only when the estimated distinct-profile count fits
     ``profile_cap`` — bounding both the broadcast size and the P^2 work.
     One extra O(N) pass to dodge an O(N^2) mistake.
+
+    ``threshold`` must be in (0, 1]: at 0 every pair (even token-disjoint
+    ones) trivially qualifies, which neither strategy's shared-token join
+    can enumerate — the strategies would silently disagree.
     """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if strategy == "auto":
         wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws")).filter(
             F.size("ws") > 0
@@ -377,7 +383,7 @@ def _ngram_jaccard_profile(
     nested-loop join, right when profile count << doc count; for corpora
     where profiles stay huge AND diverse, use ``strategy="prefix"``.
     """
-    threshold_ppm = int(threshold * 1_000_000)
+    threshold_ppm = round(threshold * 1_000_000)
     wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws")).filter(
         F.size("ws") > 0
     )
@@ -422,6 +428,9 @@ def _ngram_jaccard_profile(
         # exact count here costs one extra job but prevents an O(P^2)
         # broadcast nested-loop over a no-collapse corpus. Both strategies
         # are exact, so falling back changes nothing but the plan.
+        # persist() so the count does not recompute the whole encode
+        # lineage a second time when the pair query executes
+        profiles = profiles.persist()
         n_profiles = profiles.count()
         if n_profiles > profile_cap:
             import warnings
@@ -432,25 +441,33 @@ def _ngram_jaccard_profile(
                 "prefix-filter strategy (identical output)",
                 stacklevel=2,
             )
+            profiles.unpersist()
             return _ngram_jaccard_prefix(docs, threshold, id_col)
-    p1, p2 = profiles.alias("p1"), F.broadcast(profiles).alias("p2")
+    # broadcast the SLIM profile table only: members arrays collectively
+    # hold every doc id (O(corpus), not O(profile_cap)) and must never
+    # ride a broadcast; the few qualifying profile PAIRS join members
+    # back afterwards
+    slim = profiles.select("pid", "mask", "rare", "sz")
+    p1, p2 = slim.alias("p1"), F.broadcast(slim).alias("p2")
     cross = p1.join(p2, F.col("p1.pid") < F.col("p2.pid")).select(
-        F.col("p1.members").alias("m1"),
-        F.col("p2.members").alias("m2"),
+        F.col("p1.pid").alias("pid1"),
+        F.col("p2.pid").alias("pid2"),
         (
             F.bit_count(F.col("p1.mask").bitwiseAND(F.col("p2.mask")))
             + F.size(F.array_intersect("p1.rare", "p2.rare"))
         ).cast("long").alias("common"),
         (F.col("p1.sz") + F.col("p2.sz")).alias("szsum"),
     )
+    qual = cross.withColumn(
+        "jaccard_ppm",
+        F.floor(F.col("common") * 1000000.0 / (F.col("szsum") - F.col("common"))).cast(
+            "long"
+        ),
+    ).filter(F.col("jaccard_ppm") >= threshold_ppm)
+    mem = profiles.select("pid", "members")
     inter = (
-        cross.withColumn(
-            "jaccard_ppm",
-            F.floor(F.col("common") * 1000000.0 / (F.col("szsum") - F.col("common"))).cast(
-                "long"
-            ),
-        )
-        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        qual.join(mem.select(F.col("pid").alias("pid1"), F.col("members").alias("m1")), "pid1")
+        .join(mem.select(F.col("pid").alias("pid2"), F.col("members").alias("m2")), "pid2")
         .select(
             F.explode("m1").alias("d1"),
             F.col("m2"),
@@ -493,14 +510,22 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> Dat
     exactly with one array_intersect per DISTINCT pair (no per-token
     multiplicity ever reaches a groupBy).
     """
+    threshold_ppm = round(threshold * 1_000_000)
     wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws"))
     toks = wordsets.select(id_col, F.size("ws").alias("sz"), F.explode("ws").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "tok")
+    # prefix length sz - ceil(t*sz) + 1 in INTEGER arithmetic: the float
+    # form floor((1-t)*sz)+1 loses an ulp at thresholds like 0.8 with
+    # sz=10 ((1-0.8)*10 = 1.9999...), shortening the prefix by one token
+    # and silently DROPPING qualifying pairs
+    plen = F.expr(
+        f"sz - (sz * CAST({threshold_ppm} AS BIGINT) + 999999) DIV 1000000 + 1"
+    )
     prefix = (
         toks.join(dfreq, "tok")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.floor((1 - threshold) * F.col("sz")) + 1)
+        .filter(F.col("rk") <= plen)
         .select(id_col, "tok")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -525,14 +550,14 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> Dat
             ).cast("long"),
         )
     )
-    threshold_ppm = int(threshold * 1_000_000)
+    threshold_ppm = round(threshold * 1_000_000)
     return verified.filter(F.col("jaccard_ppm") >= threshold_ppm).select(
         "doc1", "doc2", "jaccard_ppm"
     )
 
 
 def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
-    threshold_ppm = int(threshold * 1_000_000)
+    threshold_ppm = round(threshold * 1_000_000)
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM documents

@@ -731,3 +731,28 @@ def test_pack_sequences_rejects_non_integral_doc_id(spark):
     )
     with _pytest.raises(ValueError, match="integral doc_id"):
         pack_sequences(chunks)
+
+
+def test_ngram_jaccard_prefix_length_integer_exact(spark):
+    """Review-confirmed bug: float (1-t)*sz evaluated 0.8/10 tokens to
+    prefix length 2 instead of 3, silently dropping a pair at EXACTLY the
+    threshold. Both strategies must find it and agree."""
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "f1 f2 x1 x2 x3 x4 x5 x6 x7 x8"),  # 10 tokens
+            (2, "x1 x2 x3 x4 x5 x6 x7 x8"),  # jaccard exactly 0.8
+        ],
+        "doc_id long, text string",
+    )
+    for strat in ("prefix", "profile"):
+        got = ngram_jaccard_pairs(docs, threshold=0.8, strategy=strat).collect()
+        assert len(got) == 1, f"{strat} missed the threshold-exact pair"
+        assert got[0]["jaccard_ppm"] == 800_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(docs, threshold=0.0)
