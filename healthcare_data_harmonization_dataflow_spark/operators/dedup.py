@@ -314,6 +314,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over distinct-token sets.
 
+    Scale note (shared by every pair-emitting dedup operator here): a
+    group of n mutual duplicates yields C(n,2) intra pairs — the OUTPUT is
+    inherently quadratic in group size, and the collect_list members row
+    that feeds it grows with the group. For corpora with single templates
+    duplicated hundreds of millions of times, consume the cluster labels
+    (operators/graph.py::connected_components, star-shaped linear output)
+    instead of the raw pair list; the pair form exists because the oracle
+    contract verifies exact pairwise similarity values.
+
     Two exact strategies (identical output — both are exact):
 
     * ``"profile"``: collapse documents to distinct token-SET profiles
