@@ -288,16 +288,23 @@ def cosine_topk(
     """Float cosine variant (production scoring; not oracle-exact because
     float32 summation differs across engines — use rank-only comparisons)."""
     dot = "aggregate(zip_with(a.embedding, b.embedding, (x,y) -> cast(x as double)*cast(y as double)), cast(0.0 as double), (acc,v) -> acc+v)"
-    nrm = (
-        lambda s: f"sqrt(aggregate(transform({s}.embedding, x -> cast(x as double)*cast(x as double)), cast(0.0 as double), (acc,v) -> acc+v))"
+    nrm_expr = (
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double)"
+        "*cast(x as double)), cast(0.0 as double), (acc,v) -> acc+v))"
     )
-    pairs = F.broadcast(queries.alias("a")).crossJoin(embeddings.alias("b")).filter(
+    # norms precomputed ONCE per side (inside the cross join they would
+    # re-evaluate Q*N times), and zero-norm vectors dropped on both sides:
+    # 0/0 = NaN, which Spark's descending sort ranks ABOVE every real
+    # cosine — a garbage vector would displace true top-k neighbors
+    qn = queries.withColumn("nrm", F.expr(nrm_expr)).where(F.col("nrm") > 0)
+    en = embeddings.withColumn("nrm", F.expr(nrm_expr)).where(F.col("nrm") > 0)
+    pairs = F.broadcast(qn.alias("a")).crossJoin(en.alias("b")).filter(
         F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
     )
     scored = pairs.select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col(f"b.{id_col}").alias("neighbor_id"),
-        F.expr(f"({dot}) / ({nrm('a')} * {nrm('b')})").alias("cosine"),
+        (F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -384,7 +391,18 @@ def embedding_cosine_pairs(
     steps are one product, one IEEE-correctly-rounded sqrt, one division
     and one floor — all exactly rounded, hence bit-identical on any
     IEEE-754 engine. Zero-norm vectors never pair.
+
+    ``dim`` is bounded at 2048: the int64 norm product qn1*qn2 can reach
+    (dim * QUANT^2)^2 and overflows past that bound — where Spark's
+    non-ANSI multiply would silently WRAP (garbage cosines) while the
+    DuckDB oracle errors. Fail loudly instead.
     """
+    if dim > 2048:
+        raise ValueError(
+            f"embedding_cosine_pairs: dim={dim} exceeds 2048 — the int64 "
+            "norm product would overflow (Spark wraps silently; the oracle "
+            "errors); reduce QUANT or split the dimensions"
+        )
     keys = lsh_band_keys(embeddings, bands, rows, dim, id_col)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -524,6 +542,8 @@ def train_centroids(
     literals — cross-engine exactness never touches float arithmetic."""
     import numpy as np
 
+    if not sample:
+        return []  # empty corpus: no centroids, no assignments
     X = np.asarray(sample, dtype=np.int64)
     n = len(X)
     k = max(1, min(k, n))
@@ -555,6 +575,11 @@ def _ivf_centroids(
     refined by integer k-means. Constant-size driver collect (like the
     dedup top-64 table); at 100 TB raise ``train_sample`` — the collect is
     train_sample x dim int64s regardless of corpus size."""
+    # the sample must dominate K: with K >= sample size every sample row
+    # becomes its own centroid, Lloyd's iterations are a no-op, and the
+    # "trained" index degenerates to the lowest-id selection this function
+    # exists to replace. 8 samples per centroid keeps the mean meaningful.
+    train_sample = max(train_sample, 8 * n_centroids)
     rows = (
         embeddings.select(F.col(id_col), F.expr(_qe_expr(dim)).alias("qe"))
         .orderBy(id_col)
@@ -578,6 +603,14 @@ def ivf_oracle_centroids(
     import duckdb
 
     con = duckdb.connect()
+    if n_centroids is None:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{parquet_path}')"
+        ).fetchone()[0]
+        n_centroids = scaled_centroid_count(n)
+    # same K-scaled sample rule as _ivf_centroids — the two passes must
+    # select identical samples or the centroid literals diverge
+    train_sample = max(train_sample, 8 * n_centroids)
     sample = [
         list(r[0])
         for r in con.execute(
@@ -585,11 +618,6 @@ def ivf_oracle_centroids(
             f" FROM read_parquet('{parquet_path}') ORDER BY vec_id LIMIT {train_sample}"
         ).fetchall()
     ]
-    if n_centroids is None:
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{parquet_path}')"
-        ).fetchone()[0]
-        n_centroids = scaled_centroid_count(n)
     return train_centroids(sample, n_centroids, train_iters)
 
 
