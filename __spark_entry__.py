@@ -1695,7 +1695,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+                     list_filter(string_split(regexp_replace(lower(coalesce(text, '')),
+                                                             '[[:punct:]]', ' ', 'g'), ' '),
+                                 w -> w != '') AS toks
               FROM documents),
             idx AS (
               SELECT doc_id, toks,

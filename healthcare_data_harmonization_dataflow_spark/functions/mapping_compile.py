@@ -400,14 +400,21 @@ def _norm_expr_key(s: str) -> str:
     conflate DISTINCT source paths into one hoist key and silently emit the
     same value for different fields."""
     parts = s.split("'")
-    # even indices are outside quotes (expression text), odd are literal
-    # content — Spark's toString does not escape quotes inside literals,
-    # and a pathological literal merely shifts segments, which can only
-    # make two keys differ (never falsely collide on masked text)
-    return "'".join(
+    # Even indices are outside quotes (expression text), odd are literal
+    # content. Spark's toString does not escape quotes inside literals, so
+    # a literal CONTAINING a quote shifts segment parity: literal text can
+    # land at an even index and get masked, letting two expressions that
+    # differ only in such a literal share one key. The quote-count suffix
+    # below separates keys whose quoting structure differs; the residual
+    # case (same quote count, literals differing only in x_<digits> tokens
+    # after a parity shift) stays value-equivalent because hoist candidates
+    # are timestamp/numeric parses that render such garbage literals as
+    # NULL under either key's hoisted column.
+    masked = "'".join(
         _LAMBDA_VAR.sub("x_#", seg) if i % 2 == 0 else seg
         for i, seg in enumerate(parts)
     )
+    return f"{masked}#q{len(parts) - 1}"
 
 
 class _HoistRegistry:
@@ -438,6 +445,12 @@ class _HoistRegistry:
         self.seen: "dict[str, tuple[int, Column]]" = {}
 
     def visit(self, col: Column) -> Column:
+        # `_jc` is the classic-API JVM column handle; Spark Connect columns
+        # don't carry one. Without a stable expression string there is no
+        # CSE key, so hoisting is skipped (correctness is unaffected — the
+        # subtree just re-evaluates per field, as it would without CSE).
+        if not hasattr(col, "_jc"):
+            return col
         key = _norm_expr_key(col._jc.toString())
         if self.subst is not None:
             repl = self.subst.get(key)
@@ -450,8 +463,12 @@ class _HoistRegistry:
         items = [(k, c) for k, (n, c) in self.seen.items() if n >= 2]
         items.sort(key=lambda kc: -len(kc[0]))  # longest (outermost) first
         kept: "list[tuple[str, Column]]" = []
+        # containment compares the masked expression text only — the
+        # "#q<n>" quote-count suffix would otherwise stop an inner subtree
+        # key from matching inside its enclosing tree's key
+        body = lambda k: k.rsplit("#q", 1)[0]
         for k, c in items:
-            if not any(k in kk for kk, _ in kept):
+            if not any(body(k) in body(kk) for kk, _ in kept):
                 kept.append((k, c))
         return kept
 

@@ -42,6 +42,24 @@ PHONE_RE = r"(?:\(\d{3}\)|\b\d{3})[ -]\d{3}-\d{4}\b"
 
 _KINDS = (("email", EMAIL_RE), ("ssn", SSN_RE), ("phone", PHONE_RE))
 
+# Decontamination text normalization (GPT-3 appendix C / PaLM style):
+# lowercase + strip ASCII punctuation before n-gramming, so a
+# capitalization or punctuation variant of a benchmark sentence still
+# collides. Java's \p{Punct} and RE2's [[:punct:]] are the same 32 ASCII
+# chars, so the Spark expression and the DuckDB oracle agree byte-for-byte.
+NGRAM_NORM_SPARK_RE = r"\p{Punct}"
+NGRAM_NORM_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(coalesce(text, '')), "
+    "'[[:punct:]]', ' ', 'g'), ' '), w -> w != '')"
+)
+
+
+def _txt(text_col: str) -> Column:
+    """NULL-safe text: curation operators treat NULL text as '' so counts
+    are 0 and documents are never silently dropped (explode of NULL emits
+    no rows; sizeOfNull is -1 under legacy config)."""
+    return F.coalesce(F.col(text_col), F.lit(""))
+
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / SSNs / phone numbers from ``text_col`` and count each
@@ -53,7 +71,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly the number of ``<KIND>`` tokens emitted (a phone-shaped digit
     run inside an email address counts as the email it was redacted as,
     never as a phantom phone)."""
-    stage: Column = F.col(text_col)
+    stage: Column = _txt(text_col)
     out = docs
     for kind, pat in _KINDS:
         out = out.withColumn(
@@ -72,6 +90,7 @@ def pii_oracle_exprs(text_expr: str = "text") -> dict[str, str]:
     sequential count-then-replace staging exactly."""
     out = {}
     stage = text_expr
+    stage = f"coalesce({stage}, '')"  # NULL-safe, mirroring scrub_pii
     for kind, pat in _KINDS:
         out[f"n_{kind}"] = (
             f"CAST(len(regexp_extract_all({stage}, '{pat}')) AS BIGINT)"
@@ -100,7 +119,7 @@ def contamination_flags(
         .where(F.length("snip") > 0)
         .distinct()
     )
-    joined = docs.select("doc_id", F.col(text_col).alias("__t")).join(
+    joined = docs.select("doc_id", _txt(text_col).alias("__t")).join(
         F.broadcast(snip), F.col("__t").contains(F.col("snip")), "left"
     )
     return (
@@ -189,7 +208,7 @@ def dedup_lines(
     """
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(_txt(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
     freq = (
         lines.groupBy("lh")
@@ -248,7 +267,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    toks = F.filter(F.split(_txt(text_col), " "), lambda w: w != "")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
@@ -326,11 +345,15 @@ def ngram_hashes(
     docs: DataFrame, n: int = 13, text_col: str = "text"
 ) -> DataFrame:
     """Per-document DISTINCT hashes of word n-grams (md5 of the
-    space-joined window; words are SPACE-separated — the corpus-wide
-    tokenization convention). The canonical decontamination unit: eval
-    sets are fingerprinted the same way and overlap is exact n-gram
-    identity. Returns (doc_id, gram) — 16-byte hashes only, never text."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    space-joined window). Text is NORMALIZED first — lowercase + ASCII
+    punctuation stripped to spaces (the GPT-3/PaLM eval-overlap method) —
+    so a case or punctuation variant of a benchmark sentence still
+    collides with the blocklist. Returns (doc_id, gram) — 16-byte hashes
+    only, never text."""
+    norm = F.regexp_replace(
+        F.lower(_txt(text_col)), NGRAM_NORM_SPARK_RE, " "
+    )
+    toks = F.filter(F.split(norm, " "), lambda w: w != "")
     # sequence(1, ub) DESCENDS when ub < 1 (Spark default step -1), so a
     # short document must yield an empty window list, not [1, 0]
     ub = F.size(toks) - (n - 1)

@@ -559,7 +559,6 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> Dat
             ).cast("long"),
         )
     )
-    threshold_ppm = round(threshold * 1_000_000)
     return verified.filter(F.col("jaccard_ppm") >= threshold_ppm).select(
         "doc1", "doc2", "jaccard_ppm"
     )

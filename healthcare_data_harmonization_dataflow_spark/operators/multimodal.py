@@ -156,6 +156,12 @@ def decode_avi(content: bytes) -> dict:
             continue
         if cid == b"avih" and size >= 40:
             body = content[pos + 8 : pos + 8 + size]
+            if len(body) < 40:
+                # declared size promises 40 bytes but the payload is
+                # truncated — reading dwords at fixed offsets would
+                # fabricate frames/width from the wrong bytes; fall to the
+                # documented hash-stub path instead
+                raise ValueError("truncated avih body")
             frames = int.from_bytes(body[16:20], "little")
             w = int.from_bytes(body[32:36], "little")
             h = int.from_bytes(body[36:40], "little")

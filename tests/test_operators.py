@@ -691,6 +691,86 @@ def test_ngram_contamination_hash_overlap(spark):
     assert len(got) == 4  # every doc reported
 
 
+def test_ngram_contamination_normalizes_case_and_punct(spark):
+    """The GPT-3/PaLM method lowercases and strips punctuation before
+    n-gramming: a capitalization/punctuation variant of a benchmark
+    sentence must still be flagged."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        ngram_contamination,
+        ngram_hashes,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog near a quiet river"
+    variant = "The quick, brown FOX jumps over the lazy dog - near a quiet river!"
+    docs = spark.createDataFrame(
+        [(1, bench), (2, variant), (3, "unrelated words " * 8)],
+        "doc_id long, text string",
+    )
+    blocklist = ngram_hashes(docs.where("doc_id = 1"), n=13).select("gram")
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(docs, blocklist, n=13).collect()
+    }
+    assert got[2] is True, "case/punct variant escaped the 13-gram flag"
+    assert got[3] is False
+
+
+def test_curation_null_text_safety(spark):
+    """NULL text must behave as '' in every curation operator: zero counts,
+    document never silently dropped (explode of NULL emits no rows)."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        chunk_documents,
+        contamination_flags,
+        dedup_lines,
+        ngram_hashes,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "mail me a@b.co now")], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x for x in scrub_pii(docs).collect()}
+    assert (r[1]["n_email"], r[1]["clean_text"]) == (0, "")
+    assert r[2]["n_email"] == 1
+
+    dl = {x["doc_id"]: x for x in dedup_lines(docs, min_docs=2).collect()}
+    assert set(dl) == {1, 2} and dl[1]["n_lines_removed"] == 0
+
+    ch = chunk_documents(docs, chunk_tokens=4, overlap=1).groupBy("doc_id").count()
+    assert {x["doc_id"] for x in ch.collect()} == {1, 2}  # null doc: 1 empty chunk
+
+    assert ngram_hashes(docs, n=2).where("doc_id = 1").count() == 0
+
+    snips = spark.createDataFrame([("a@b",)], "snip string")
+    cf = {x["doc_id"]: x["n_hits"] for x in contamination_flags(docs, snips).collect()}
+    assert cf == {1: 0, 2: 1}
+
+
+def test_decode_avi_truncated_body_falls_to_stub():
+    """A declared avih size >= 40 with fewer payload bytes present must not
+    fabricate dimensions from out-of-range reads — it raises and the
+    sniffing decoder falls to the deterministic hash stub."""
+    import struct
+
+    import pytest as _pytest
+
+    from healthcare_data_harmonization_dataflow_spark.operators.multimodal import (
+        decode_avi,
+        default_decode,
+    )
+
+    avih = struct.pack("<9I", 40000, 0, 0, 0, 250, 0, 1, 0, 1920)  # 36 bytes
+    avi = (
+        b"RIFF" + struct.pack("<I", 60) + b"AVI "
+        + b"LIST" + struct.pack("<I", 48) + b"hdrl"
+        + b"avih" + struct.pack("<I", 56) + avih  # declares 56, has 36
+    )
+    with _pytest.raises(ValueError, match="truncated avih"):
+        decode_avi(avi)
+    f = default_decode(avi, "video")  # stub path, deterministic
+    assert f["n_bytes"] == len(avi) and f["frames_sampled"] >= 1
+
+
 def test_scrub_pii_paren_phone_and_sequential_counts(spark):
     """Review-found fixes: (1) '\\b\\(?' made the paren unmatchable, leaving
     a stray '(' after redacting '(555) 867-5309'; (2) counts computed on the
