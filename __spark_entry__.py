@@ -370,6 +370,50 @@ def q_mapping_logic(spark, sf_dir):
     )
 
 
+MERGE_Q_CFG = """
+out O: P(root);
+def P(i) {
+  m: $MergeJSON(i.a, i.b);
+  un: $UnnestArrays(i.a);
+  z: Z(i.xs[], i.ys[], i.zs[]);
+}
+def Z(x, y, w) { l: x; mid: y; r: w; }
+"""
+
+
+def q_mapping_merge(spark, sf_dir):
+    """Round-4 compiler close-outs, all codegen: RUNTIME $MergeJSON over
+    two data-derived objects (recursive map_zip_with merge — right wins
+    except nil, canonical sorted keys), $UnnestArrays (map_entries pair
+    explosion, array values one pair per element), and 3-array zip
+    iteration (arrays_zip, zip-to-longest with missing-padding)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    u = F.col("user_id")
+    inp = _events(spark, sf_dir).select(
+        F.concat(F.lit("e"), F.col("event_id")).alias("id"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    k.alias("k"),
+                    F.struct(F.lit(1).alias("x")).alias("o"),
+                    F.array(k, k + 1).alias("tags"),
+                ).alias("a"),
+                F.struct(
+                    u.alias("m"),
+                    F.struct(F.lit(2).alias("y")).alias("o"),
+                    F.lit("").alias("k"),  # nil write: a's k survives
+                ).alias("b"),
+                F.array(k, k + 1).alias("xs"),
+                F.array(u).alias("ys"),  # short side: pads to missing
+                F.array(k * 2, u + 1).alias("zs"),
+            )
+        ).alias("data"),
+    )
+    return ok_rows(apply_mapping(inp, MERGE_Q_CFG)).select(
+        "id", F.col("ok").alias("output")
+    )
+
+
 TOPLIST_CFG = """
 out O: P(root);
 def P(i) {
@@ -1177,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_numeric": q_mapping_numeric,
         "mapping_time": q_mapping_time,
         "mapping_logic": q_mapping_logic,
+        "mapping_merge": q_mapping_merge,
         "mapping_infix": q_mapping_infix,
         "mapping_where": q_mapping_where,
         "mapping_required": q_mapping_required,
@@ -1311,6 +1356,24 @@ def oracle_sql() -> dict[str, str]:
                           ',"flat":[', k, ',', k + 1, ',', k + 1, ',', k + 2,
                           '],"uniq":[', k, ',', k + 1, ',', k + 2,
                           ']}]}') AS output
+            FROM ev
+        """,
+        "mapping_merge": """
+            WITH ev AS (
+                SELECT event_id, user_id AS u,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT concat('e', event_id) AS id,
+                   concat('{"O":[{"m":{"k":', k, ',"m":', u,
+                          ',"o":{"x":1,"y":2},"tags":[', k, ',', k + 1, ']},',
+                          '"un":[{"k":"k","v":', k, '},',
+                          '{"k":"o","v":{"x":1}},',
+                          '{"k":"tags","v":', k, '},',
+                          '{"k":"tags","v":', k + 1, '}],',
+                          '"z":[{"l":', k, ',"mid":', u, ',"r":', k * 2,
+                          '},{"l":', k + 1, ',"r":', u + 1, '}]}]}'
+                   ) AS output
             FROM ev
         """,
         "mapping_infix": """

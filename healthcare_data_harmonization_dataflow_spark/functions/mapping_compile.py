@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 from ..model.errors import RecoverableMappingError
 from . import json_canon
 from .json_canon import _MISSING
+
+
+class _ProjDict(dict):
+    """Marker for dicts BUILT BY A PROJECTOR in the python backend (vs
+    data-derived dicts, which enter canon-sorted). $MergeJSON keeps declared
+    key order when a projector result is involved (mirroring the column
+    backend's static named_struct merge) but re-sorts a pure data∧data merge
+    (mirroring the runtime variant merge, whose binary form sorts keys)."""
 from .mapping_lang import (
     _FULL_DATE,
     _TIME_TOKENS,
@@ -494,6 +502,77 @@ def _let(col: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+# Static unroll depth for the runtime variant deep merge. The python
+# backend recurses without bound; data nested deeper than this raises at
+# runtime (honest failure) instead of silently diverging. FHIR-ish payloads
+# are < 10 levels in practice; each level adds O(1) expression nodes, so a
+# generous bound is cheap.
+_MERGE_DEPTH = 12
+
+
+def _variant_nil(v: Column) -> Column:
+    """True iff the variant is Whistle-nil: JSON null, '' or []. NULL-safe
+    (each probe coalesces to False; a non-matching type probe yields NULL)."""
+    return (
+        F.coalesce(F.schema_of_variant(v) == "VOID", F.lit(False))
+        | F.coalesce(F.try_variant_get(v, "$", "string") == "", F.lit(False))
+        | F.coalesce(
+            F.size(F.try_variant_get(v, "$", "array<variant>")) == 0,
+            F.lit(False),
+        )
+    )
+
+
+def _vmerge(a: Column, b: Column, depth: int = _MERGE_DEPTH) -> Column:
+    """Runtime deep merge of two VARIANT values — the column-backend twin of
+    the python backend's $MergeJSON ``_mj`` for DATA-derived arguments:
+
+    * missing (SQL NULL) on either side yields the other;
+    * object ∧ object merges key-wise (``map_zip_with`` over the
+      ``map<string,variant>`` casts — key union, recursion per conflict);
+    * a shape change (exactly one side an object) takes the right side;
+    * writing nil (JSON null / '' / []) is a no-op — the left side stays;
+    * otherwise the right side wins.
+
+    Key order: ``to_variant_object`` renders objects with variant's sorted
+    key order, which is exactly the python backend's canonical form for
+    data-derived dicts (canon_sort on entry, re-sort per merged level).
+    JSON null inside an object is a variant VOID (NOT SQL NULL), so the
+    lambda's NULL checks distinguish "key absent" from "key null" just like
+    the python dict does."""
+    ma = F.try_variant_get(a, "$", "map<string,variant>")
+    mb = F.try_variant_get(b, "$", "map<string,variant>")
+    if depth == 0:
+        # evaluated only when both sides are STILL objects at max depth;
+        # raise_error is non-foldable, so untaken branches never fire
+        merged = F.parse_json(
+            F.raise_error(
+                F.lit(
+                    "$MergeJSON: object nesting exceeds the column "
+                    f"backend's max merge depth ({_MERGE_DEPTH})"
+                )
+            )
+        )
+    else:
+        merged = F.to_variant_object(
+            F.map_zip_with(
+                ma,
+                mb,
+                lambda k, x, y: F.when(x.isNull(), y)
+                .when(y.isNull(), x)
+                .otherwise(_vmerge(x, y, depth - 1)),
+            )
+        )
+    return (
+        F.when(a.isNull(), b)
+        .when(b.isNull(), a)
+        .when(ma.isNotNull() & mb.isNotNull(), merged)
+        .when(ma.isNotNull() | mb.isNotNull(), b)  # shape change -> right
+        .when(_variant_nil(b), a)  # writing nil is a no-op
+        .otherwise(b)
+    )
+
+
 def _year_guard(ts: Column) -> Column:
     """Nil any timestamp outside years 1000-9999: Java's yyyy zero-pads
     ("0999") where Python's %Y does not ("999"), so the two backends'
@@ -729,12 +808,6 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
         proj = cfg.projectors[expr.name]
         iters = [i for i, a in enumerate(expr.args) if isinstance(a, Iterate)]
         if iters:
-            if len(iters) > 2:
-                # zip-iteration over 3+ arrays: pandas backend territory
-                # (zip_with is binary; nesting it needs intermediate structs)
-                raise MappingConfigError(
-                    "column backend: at most two iterated arguments per call"
-                )
             srcs = {}
             for it in iters:
                 src = _compile_expr(cfg, expr.args[it].path, env)
@@ -777,13 +850,30 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 return _ArrCol(
                     F.transform(srcs[iters[0]], lambda e: body(e)), "struct"
                 )
-            # two arrays: F.zip_with zips to the LONGEST (the short side's
-            # elements arrive as SQL NULL -> their fields go missing),
-            # exactly the python backend's pad-with-_MISSING rule; a NULL
-            # (missing/non-array) source nulls the whole result
+            if len(iters) == 2:
+                # two arrays: F.zip_with zips to the LONGEST (the short
+                # side's elements arrive as SQL NULL -> their fields go
+                # missing), exactly the python backend's pad-with-_MISSING
+                # rule; a NULL (missing/non-array) source nulls the whole
+                # result
+                return _ArrCol(
+                    F.zip_with(
+                        srcs[iters[0]], srcs[iters[1]], lambda a, b: body(a, b)
+                    ),
+                    "struct",
+                )
+            # 3+ arrays: arrays_zip is n-ary with the SAME semantics —
+            # zip-to-longest with NULL padding, whole-result NULL when any
+            # source is NULL — then one transform unpacks the zip struct
+            # into the projector body (aliases pin the field names; zip
+            # field naming otherwise depends on the input expressions)
+            zipped = F.arrays_zip(
+                *[srcs[it].alias(f"_z{j}") for j, it in enumerate(iters)]
+            )
             return _ArrCol(
-                F.zip_with(
-                    srcs[iters[0]], srcs[iters[1]], lambda a, b: body(a, b)
+                F.transform(
+                    zipped,
+                    lambda e: body(*[e[f"_z{j}"] for j in range(len(iters))]),
                 ),
                 "struct",
             )
@@ -817,12 +907,30 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             return _compile_expr(cfg, Arr(tuple(expr.args)), env)
         args = [_compile_expr(cfg, a, env) for a in expr.args]
         if expr.name == "$MergeJSON":
-            # static deep merge of projector results. Conflicts resolve at
-            # compile time only where runtime types are GUARANTEED: nested
+            # RUNTIME deep merge when every argument is a DATA-derived
+            # variant: _vmerge (map_zip_with unrolled to _MERGE_DEPTH).
+            # Key order is variant-sorted on both backends (canon form).
+            if args and all(isinstance(a, Column) for a in args):
+                # NOTE: _let lambdas must be SINGLE-parameter — PySpark HOFs
+                # introspect arity, and a second (defaulted) parameter would
+                # receive the array INDEX. Capture via closure instead.
+                def _merge_pair(a_col: Column, b_col: Column) -> Column:
+                    return _let(
+                        a_col,
+                        lambda x: _let(b_col, lambda y: _vmerge(x, y)),
+                    )
+
+                res = args[0]
+                for nxt in args[1:]:
+                    res = _merge_pair(res, nxt)
+                return res
+
+            # STATIC deep merge of projector results. Conflicts resolve at
+            # compile time where runtime types are GUARANTEED: nested
             # objects (node∧node) recurse; scalar-typed leaves (_StrCol/
-            # _BoolCol) apply the writing-nil-is-a-no-op rule. A variant∧
-            # variant conflict could hold runtime OBJECTS (which the python
-            # backend deep-merges), so it falls back to pandas.
+            # _BoolCol) apply the writing-nil-is-a-no-op rule; a variant∧
+            # variant conflict (which could hold runtime objects) resolves
+            # with the same runtime _vmerge as the data-derived path.
             def _merge_tree(ta: dict, tb: dict) -> dict:
                 out = dict(ta)
                 for k, (kb, vb) in tb.items():
@@ -837,11 +945,31 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                         out[k] = ("leaf", _StrCol(F.when(nil_b, va.col).otherwise(vb.col)))
                     elif isinstance(va, _BoolCol) and isinstance(vb, _BoolCol):
                         out[k] = ("leaf", _BoolCol(F.coalesce(vb.col, va.col)))
+                    elif isinstance(va, Column) and isinstance(vb, Column):
+                        # declared-leaf rule: the left key was DECLARED, so
+                        # "left omitted (nil-written, SQL NULL) + right nil"
+                        # must VANISH — matching the python backend's
+                        # skip-insert branch — while every other case is the
+                        # plain runtime merge. Single-param _let lambdas
+                        # (capture by closure): HOF arity is significant.
+                        def _leaf_merge(a_col: Column, b_col: Column) -> Column:
+                            return _let(
+                                a_col,
+                                lambda x: _let(
+                                    b_col,
+                                    lambda y: F.when(
+                                        x.isNull() & _variant_nil(y), x
+                                    ).otherwise(_vmerge(x, y)),
+                                ),
+                            )
+
+                        out[k] = ("leaf", _leaf_merge(va, vb))
                     else:
                         raise MappingConfigError(
                             "column backend: $MergeJSON conflict at "
-                            f"'{k}' needs nested objects or scalar-typed "
-                            "leaves (runtime objects merge in pandas)"
+                            f"'{k}' needs nested objects, scalar-typed "
+                            "leaves, or data values (mixed projector/array "
+                            "leaves merge in pandas)"
                         )
                 return out
 
@@ -850,7 +978,8 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
                 if not (isinstance(res, _StructVal) and isinstance(b, _StructVal)):
                     raise MappingConfigError(
                         "column backend: $MergeJSON arguments must be "
-                        "projector results (data-derived merges run in pandas)"
+                        "projector results or data values (mixed argument "
+                        "kinds merge in pandas)"
                     )
                 res = _StructVal(_merge_tree(res.tree, b.tree))
             return res
@@ -1128,11 +1257,41 @@ def _compile_expr(cfg: MappingConfig, expr, env: dict[str, Any]):
             ts2 = _year_guard(ts + F.make_interval(*iargs))
             return _StrCol(F.date_format(ts2, in_fmt))
         if expr.name == "$UnnestArrays":
-            # runtime-shaped output (one row of pairs per OBSERVED key):
-            # pandas territory, like runtime-object merges
-            raise MappingConfigError(
-                "column backend: $UnnestArrays is runtime-shaped (pandas)"
+            # one {k, v} pair per key (array values explode to one pair per
+            # element): map_entries over the object's map<string,variant>
+            # cast, a per-element transform, and one flatten — all inside
+            # the row's expression tree, no shuffle. Key order is variant's
+            # sorted order, the python backend's canon_sort order. A
+            # missing/non-object argument casts to a NULL map, which
+            # null-propagates through map_entries/transform/flatten to nil.
+            v = args[0]
+            if not isinstance(v, Column):
+                raise MappingConfigError(
+                    "column backend: $UnnestArrays argument must be a data "
+                    "value (projector-result unnests run in pandas)"
+                )
+            entries = F.map_entries(
+                F.try_variant_get(v, "$", "map<string,variant>")
             )
+            pairs = F.flatten(
+                F.transform(
+                    entries,
+                    lambda e: F.coalesce(
+                        F.transform(
+                            F.try_variant_get(e["value"], "$", "array<variant>"),
+                            lambda x: F.struct(
+                                e["key"].alias("k"), x.alias("v")
+                            ),
+                        ),
+                        F.array(
+                            F.struct(
+                                e["key"].alias("k"), e["value"].alias("v")
+                            )
+                        ),
+                    ),
+                )
+            )
+            return _ArrCol(pairs, "struct")
         if expr.name == "$UUID":
             # nondeterministic: besides being un-checkable, a nondeterministic
             # leaf inside the CSE/let transform lambdas is not allowed by
@@ -1797,6 +1956,16 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                         return a
                     if isinstance(a, dict) and isinstance(b, dict):
                         out = dict(a)  # a's key order, b's new keys appended
+                        # canonical-form rule: a merge of two DATA-derived
+                        # objects (neither built by a projector) re-sorts its
+                        # keys — data objects are canon-sorted on entry, and
+                        # the column backend's runtime variant merge renders
+                        # sorted keys (variant's binary form sorts). A merge
+                        # touching a projector result keeps declared order
+                        # (the column backend's static named_struct path).
+                        proj_side = isinstance(a, _ProjDict) or isinstance(
+                            b, _ProjDict
+                        )
                         for k, v2 in b.items():
                             if k in out:
                                 sub = sa.get(k) if isinstance(sa, dict) else None
@@ -1816,7 +1985,9 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
                                 continue
                             else:
                                 out[k] = v2
-                        return out
+                        if proj_side:
+                            return _ProjDict(out)
+                        return dict(sorted(out.items()))
                     if isinstance(a, dict) or isinstance(b, dict):
                         return b  # shape change replaces outright
                     if b is None or b == "" or b == []:
@@ -2224,7 +2395,7 @@ def _compile_python(cfg: MappingConfig) -> Callable[[Any], dict]:
         raise MappingConfigError(f"cannot evaluate {expr!r}")
 
     def eval_tree(tree: dict, env, is_root: bool = False) -> dict:
-        out: dict = {}
+        out: dict = _ProjDict()
         if is_root:
             # `dest` = this projector instance's output under construction
             # (shared by reference: later fields see earlier writes only)

@@ -25,8 +25,23 @@ cluster's Hadoop configuration speaks (``hdfs://``, ``s3a://``, ``gs://``,
 a small FS facade — local ``os`` calls for POSIX paths, the Hadoop
 FileSystem API (driver-side, via the session JVM) otherwise, with parquet
 row counts read from footers in both cases (metadata-only; never a second
-pass over the batch). The commit rename is atomic on POSIX and HDFS;
-object stores emulate it (same caveat as every rename-based committer).
+pass over the batch).
+
+Commit modes (``commit_mode=``):
+
+* ``"rename"`` (default) — tmp + rename marker. Atomic on POSIX and HDFS;
+  object stores only EMULATE rename (copy+delete), where a lying rename
+  can leave a torn or missing marker.
+* ``"put"`` — object-store-safe: the marker is written as ONE direct
+  object write (a single PUT is all-or-nothing on S3/GCS — readers never
+  see a partial object) and then READ BACK and byte-compared; a mismatch
+  raises, so the checkpoint does not advance and the batch replays.
+
+Both modes are torn-marker-proof on the READ side: ``is_committed`` /
+``committed_batches`` accept a marker only if it parses as JSON with the
+matching batch_id — a torn marker counts as uncommitted, the replay
+overwrites the data directory, and the marker is rewritten (self-healing,
+no loss, no duplication).
 """
 
 from __future__ import annotations
@@ -93,6 +108,17 @@ class _LocalFs:
             os.fsync(dfd)  # persist the rename itself
         finally:
             os.close(dfd)
+
+    def write_text_put(self, path: str, text: str) -> None:
+        """Direct single-object write (the object-store-safe mode): no tmp,
+        no rename. fsync'd, then read back and byte-compared — a torn or
+        lost write raises, failing the batch so it replays."""
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        if self.read_text(path) != text:
+            raise IOError(f"commit marker verify failed: {path}")
 
     def delete(self, path: str) -> None:
         import shutil
@@ -175,6 +201,19 @@ class _HadoopFs:
         if not self._fs.rename(tmp, dst):
             raise IOError(f"atomic commit rename failed: {tmp} -> {path}")
 
+    def write_text_put(self, path: str, text: str) -> None:
+        """Direct single-object create (object-store-safe): one PUT is
+        all-or-nothing on S3/GCS — visible only after a complete upload —
+        and the read-back compare catches a lost or torn write, raising so
+        the checkpoint does not advance and the batch replays."""
+        out = self._fs.create(self._path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self.read_text(path) != text:
+            raise IOError(f"commit marker verify failed: {path}")
+
     def delete(self, path: str) -> None:
         p = self._path(path)
         if not self._fs.delete(p, True) and self._fs.exists(p):
@@ -205,10 +244,16 @@ class ExactlyOnceParquetSink:
         name: str = "sink",
         num_shards: int | None = None,
         spark: SparkSession | None = None,
+        commit_mode: str = "rename",
     ):
+        if commit_mode not in ("rename", "put"):
+            raise ValueError(
+                f"commit_mode must be 'rename' or 'put', got {commit_mode!r}"
+            )
         self.base_dir = base_dir
         self.name = name
         self.num_shards = num_shards  # reference's --errorLogShardNum analogue
+        self.commit_mode = commit_mode
         self._spark = spark
         self._fs_cache = None
         if _is_local(self.base_dir):
@@ -236,7 +281,18 @@ class ExactlyOnceParquetSink:
         return os.path.join(self._commits_dir, f"{batch_id}.json")
 
     def is_committed(self, batch_id: int) -> bool:
-        return self._fs().exists(self._commit_path(batch_id))
+        """A marker counts only if it PARSES with the matching batch_id: a
+        torn marker (non-atomic rename emulation interrupted mid-copy) is
+        treated as uncommitted, so the replay self-heals it — the data
+        directory is overwrite-idempotent and the marker is rewritten."""
+        fs = self._fs()
+        path = self._commit_path(batch_id)
+        if not fs.exists(path):
+            return False
+        try:
+            return json.loads(fs.read_text(path)).get("batch_id") == batch_id
+        except ValueError:
+            return False
 
     def _data_dir(self, batch_id: int) -> str:
         return os.path.join(self.base_dir, "data", f"batch={batch_id}")
@@ -301,7 +357,11 @@ class ExactlyOnceParquetSink:
         }
         t2 = time.time()
         fs.mkdirs(self._commits_dir)
-        fs.write_text_atomic(self._commit_path(batch_id), json.dumps(commit))
+        marker = json.dumps(commit)
+        if self.commit_mode == "put":
+            fs.write_text_put(self._commit_path(batch_id), marker)
+        else:
+            fs.write_text_atomic(self._commit_path(batch_id), marker)
         prof = os.environ.get("SINK_PROFILE")
         if prof:  # phase breakdown for scaling diagnosis (bench-only)
             with open(prof, "a") as f:
@@ -325,11 +385,15 @@ class ExactlyOnceParquetSink:
         fs = self._fs()
         if not fs.isdir(self._commits_dir):
             return []
-        return sorted(
+        ids = [
             int(f[:-5])
             for f in fs.listdir(self._commits_dir)
             if f.endswith(".json") and f[:-5].isdigit()
-        )
+        ]
+        # same validity rule as is_committed: a torn marker is not a
+        # commit — readers skip it rather than crash on json.loads, and
+        # the batch stays replayable
+        return sorted(b for b in ids if self.is_committed(b))
 
     def lineage(self) -> list[dict]:
         fs = self._fs()

@@ -648,9 +648,28 @@ def Z(x, y) { l: x; r: y; }
     three_cfg = """
 out Output: P(root);
 def P(input) { t: Z(input.a[], input.b[], input.c[]); }
-def Z(x, y, z) { v: x; }
+def Z(x, y, z) { l: x; m: y; r: z; }
 """
-    assert compile_mapping(three_cfg).supports_columns() is False
+    # 3+-array zip: arrays_zip is n-ary with the same zip-to-longest /
+    # NULL-pad / null-intolerant-source semantics — stays codegen
+    assert compile_mapping(three_cfg).supports_columns() is True
+    df3 = spark.createDataFrame(
+        [
+            ("a", '{"a":[1,2,3],"b":["x"],"c":[true,false]}'),
+            ("b", '{"a":[1],"b":["x"],"c":5}'),  # non-array source -> nil
+        ],
+        "id string, data string",
+    )
+    golden3 = {
+        "a": (
+            '{"Output":[{"t":[{"l":1,"m":"x","r":true},'
+            '{"l":2,"r":false},{"l":3}]}]}'
+        ),
+        "b": '{"Output":[{}]}',
+    }
+    for backend in ("columns", "pandas"):
+        res = ok_rows(apply_mapping(df3, three_cfg, backend=backend, clock=CLOCK))
+        assert {r["id"]: r["ok"] for r in res.collect()} == golden3, backend
 
 
 @pytest.mark.parametrize("backend", ["columns", "pandas"])
@@ -1514,23 +1533,61 @@ def MB(i) {
     assert oks["c"] == '{"O":[{"sub":{"y":"const"},"b":true}]}'
 
 
-def test_merge_json_runtime_objects_fall_back(spark):
-    """A variant∧variant leaf conflict may hold runtime OBJECTS, which
-    deep-merge — not statically resolvable, so the column backend falls
-    back and pandas merges them recursively."""
+def test_merge_json_runtime_object_leaf_conflict(spark):
+    """A variant∧variant leaf conflict holding runtime OBJECTS deep-merges
+    at runtime on BOTH backends (the column backend's _vmerge, unrolled
+    map_zip_with). Merged data-derived objects render in canonical sorted
+    key order — variant's binary form sorts, and the pandas backend
+    re-sorts each merged level to match."""
     cfg = """
 out O: $MergeJSON(A(root), B(root));
 def A(i) { m: i.o1; }
 def B(i) { m: i.o2; }
 """
     eng = compile_mapping(cfg)
-    assert eng.supports_columns() is False
+    assert eng.supports_columns() is True
     df = spark.createDataFrame(
         [("a", '{"o1":{"x":1,"z":0},"o2":{"y":2,"z":9}}')],
         "id string, data string",
     )
-    res = ok_rows(apply_mapping(df, cfg, clock=CLOCK))
-    assert res.collect()[0]["ok"] == '{"O":[{"m":{"x":1,"z":9,"y":2}}]}'
+    for backend in ("columns", "pandas"):
+        res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+        assert (
+            res.collect()[0]["ok"] == '{"O":[{"m":{"x":1,"y":2,"z":9}}]}'
+        ), backend
+
+
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_merge_json_runtime_data_args(spark, backend):
+    """$MergeJSON over DATA-derived arguments (no projector in sight): the
+    full runtime rule set — recursive object merge, shape-change
+    replacement, writing-nil no-op, null-vs-absent distinction — on both
+    backends, byte-identical."""
+    cfg = "out O: P(root);\ndef P(i) { m: $MergeJSON(i.a, i.b); }"
+    assert compile_mapping(cfg).supports_columns() is True
+    df = spark.createDataFrame(
+        [
+            ("deep", '{"a":{"p":1,"q":{"x":1,"z":[1]}},"b":{"q":{"x":"","y":2},"r":3}}'),
+            ("shape", '{"a":{"p":{"x":1}},"b":{"p":[1,2]}}'),
+            ("nil", '{"a":{"p":"keep"},"b":{"p":""}}'),
+            ("nullkey", '{"a":{"p":1},"b":{"q":null}}'),
+            ("amiss", '{"b":{"k":1}}'),
+            ("bmiss", '{"a":{"k":1}}'),
+            ("scalar", '{"a":5,"b":"s"}'),
+        ],
+        "id string, data string",
+    )
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+    oks = {r["id"]: r["ok"] for r in res.collect()}
+    assert oks["deep"] == (
+        '{"O":[{"m":{"p":1,"q":{"x":1,"y":2,"z":[1]},"r":3}}]}'
+    ), backend
+    assert oks["shape"] == '{"O":[{"m":{"p":[1,2]}}]}', backend
+    assert oks["nil"] == '{"O":[{"m":{"p":"keep"}}]}', backend
+    assert oks["nullkey"] == '{"O":[{"m":{"p":1,"q":null}}]}', backend
+    assert oks["amiss"] == '{"O":[{"m":{"k":1}}]}', backend
+    assert oks["bmiss"] == '{"O":[{"m":{"k":1}}]}', backend
+    assert oks["scalar"] == '{"O":[{"m":"s"}]}', backend
 
 
 # ---------------------------------------------------- library close-out wave
@@ -1599,26 +1656,35 @@ def test_builtin_closeout_golden(backend, spark):
     )
 
 
-def test_unnest_arrays_pandas_fallback(spark):
-    """$UnnestArrays is runtime-shaped (one pair per OBSERVED key/element),
-    so the column backend declines and auto falls back to pandas."""
+@pytest.mark.parametrize("backend", ["columns", "pandas"])
+def test_unnest_arrays_both_backends(spark, backend):
+    """$UnnestArrays emits one {k, v} pair per observed key (array values
+    explode per element), in canonical sorted key order on BOTH backends:
+    map_entries over the variant's map cast in the column backend, the
+    canon-sorted dict's items in pandas."""
     cfg = "out O: P(root);\ndef P(i) { un: $UnnestArrays(i.obj); }"
-    assert compile_mapping(cfg).supports_columns() is False
+    assert compile_mapping(cfg).supports_columns() is True
     df = spark.createDataFrame(
         [
             ("a", '{"obj":{"b":"x","a":[1,2]}}'),  # keys canon-sorted
             ("b", '{"obj":[1]}'),  # non-object -> nil
             ("c", '{"obj":{}}'),  # empty object -> empty pair list
+            ("d", '{"obj":{"e":[],"n":null,"o":{"z":1}}}'),  # edge values
         ],
         "id string, data string",
     )
-    res = ok_rows(apply_mapping(df, cfg, clock=CLOCK))
+    res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
     oks = {r["id"]: r["ok"] for r in res.collect()}
     assert oks["a"] == (
         '{"O":[{"un":[{"k":"a","v":1},{"k":"a","v":2},{"k":"b","v":"x"}]}]}'
-    )
-    assert oks["b"] == '{"O":[{}]}'
-    assert oks["c"] == '{"O":[{"un":[]}]}'
+    ), backend
+    assert oks["b"] == '{"O":[{}]}', backend
+    assert oks["c"] == '{"O":[{"un":[]}]}', backend
+    # empty array contributes nothing; null value is one pair with v null;
+    # object value is one pair carrying the whole object
+    assert oks["d"] == (
+        '{"O":[{"un":[{"k":"n","v":null},{"k":"o","v":{"z":1}}]}]}'
+    ), backend
 
 
 @pytest.mark.parametrize("backend", ["columns", "pandas"])

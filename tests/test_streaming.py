@@ -445,6 +445,84 @@ def test_sink_crash_between_write_and_commit(spark, tmp_path):
     assert sink.read_committed(spark).count() == 90
 
 
+def test_sink_torn_marker_under_lying_rename(spark, tmp_path):
+    """Object-store hazard: rename is emulated (copy+delete), so a crash
+    mid-copy can leave a TORN commit marker while the checkpoint never
+    advanced. A torn marker must count as UNCOMMITTED everywhere — no
+    crash on read, no phantom batch — and the replay must self-heal it
+    with no loss and no duplication."""
+    import os as _os
+
+    base = str(tmp_path / "s")
+    sink = ExactlyOnceParquetSink(base, "t")
+    df = spark.range(50).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df, 0)
+
+    class _LyingRenameFs(type(sink._fs())):
+        """rename 'succeeds' but lands only a truncated marker — the
+        non-atomic copy+delete emulation interrupted mid-copy."""
+
+        def write_text_atomic(self, path, text):
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(text[: len(text) // 2])  # torn
+
+    lying = _LyingRenameFs()
+    sink._fs_cache = lying
+    b1 = spark.range(50, 90).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(b1, 1)  # data lands, marker is torn
+    assert _os.path.exists(_os.path.join(base, "_commits", "1.json"))
+
+    # fresh reader: the torn marker is invisible, not a crash
+    reader = ExactlyOnceParquetSink(base, "t")
+    assert reader.committed_batches() == [0]
+    assert reader.is_committed(1) is False
+    assert reader.read_committed(spark).count() == 50
+    assert len(reader.lineage()) == 1
+
+    # replay with an honest FS self-heals: exactly one copy of every row
+    sink._fs_cache = None
+    sink.write_batch(b1, 1)
+    got = reader.read_committed(spark)
+    assert got.count() == 90
+    assert got.select("conv_id").distinct().count() == 90
+    assert reader.committed_batches() == [0, 1]
+
+
+def test_sink_put_commit_mode(spark, tmp_path):
+    """commit_mode='put': the marker is ONE direct object write with a
+    read-back verify — no rename anywhere in the commit path — and a
+    failed verify raises so the batch replays instead of silently
+    vanishing."""
+    base = str(tmp_path / "s")
+    sink = ExactlyOnceParquetSink(base, "t", commit_mode="put")
+    df = spark.range(40).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df, 0)
+    assert sink.committed_batches() == [0]
+    assert sink.read_committed(spark).count() == 40
+    sink.write_batch(df.limit(1), 0)  # replay guard still holds
+    assert sink.read_committed(spark).count() == 40
+
+    class _LostPutFs(type(sink._fs())):
+        def write_text_put(self, path, text):
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(text[:10])  # upload lost mid-flight
+            if self.read_text(path) != text:
+                raise IOError(f"commit marker verify failed: {path}")
+
+    sink._fs_cache = _LostPutFs()
+    b1 = spark.range(40, 60).select(F.col("id").cast("string").alias("conv_id"))
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="verify failed"):
+        sink.write_batch(b1, 1)  # raises -> checkpoint would NOT advance
+    sink._fs_cache = None
+    assert sink.is_committed(1) is False  # torn marker = uncommitted
+    sink.write_batch(b1, 1)  # replay succeeds
+    got = sink.read_committed(spark)
+    assert got.count() == 60
+    assert got.select("conv_id").distinct().count() == 60
+
+
 def test_sink_on_hadoop_filesystem_uri(spark, tmp_path):
     """The sink must work when out_dir is a Hadoop FileSystem URI, not a
     POSIX path (production: hdfs/s3a/gs). file:// drives the exact same
