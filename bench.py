@@ -134,7 +134,11 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
         # arrival follows event time (range-partitioned files, staggered
         # mtimes) the way a real stream delivers; disorder WITHIN a file
         # (jitter + rare 1h-late rows) still exercises reordering/late paths
-        t = generate_transcripts(spark, total_turns=n_turns)
+        # BENCH_HOT_FRAC: share of all turns held by ONE conversation
+        # (default 0.10 — the adversarial skew fixture; 0 = uniform control
+        # for the skew bench)
+        hot_frac = float(os.environ.get("BENCH_HOT_FRAC", "0.10"))
+        t = generate_transcripts(spark, total_turns=n_turns, hot_frac=hot_frac)
         write_time_ordered_stream(t, inp, n_files=n_files)
         append_flush_sentinel(spark, inp)
         listener = MetricsListener(os.environ.get("BENCH_STREAM_PROFILE") or None)

@@ -17,8 +17,17 @@ Implementation: ``applyInPandasWithState`` keyed by ``conv_id`` —
 
 Skew: the shuffle into the stateful operator is keyed by conv_id only (state
 keys must stay unsalted — BASELINE north_rule). A hot conversation
-serializes one task but state updates are O(new turns); the pre-state
-exchange can be salted+pre-combined upstream if profiling demands it.
+serializes one task but state updates are O(new turns) and ingestion is
+vectorized, so the hot task does not straggle — MEASURED (round 4, 1M turns,
+local[32], BENCH.md skew table): one conversation holding 0% / 10% / 30% /
+90% of all turns sustains 19.8k / 23.3k / 26.9k / 24.2k turns/s — more skew
+is FASTER, because per-key overhead (state-store entries, handler
+invocations, timeout bookkeeping) dominates per-turn cost. A salted
+pre-combine before the state exchange is therefore measurably unnecessary;
+if a future profile disagrees, it belongs UPSTREAM of this operator (state
+keys stay unsalted regardless — test_state_keys_are_unsalted_under_skew).
+State size for a never-gapping conversation is bounded by the opt-in
+``max_open_turns`` frozen-prefix flush.
 """
 
 from __future__ import annotations
@@ -147,6 +156,7 @@ def _assemble(
     state: GroupState,
     gap_seconds: int,
     max_turns_per_bundle: int | None = None,
+    max_open_turns: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     gap_us = gap_seconds * 1_000_000
 
@@ -199,6 +209,29 @@ def _assemble(
     complete = [s for s in sessions if s[-1][3] + gap_us <= wm_us]
     open_sessions = [s for s in sessions if s[-1][3] + gap_us > wm_us]
 
+    # State-size guard: incremental emission bounds state EXCEPT for one
+    # never-gapping conversation, whose open session grows without limit
+    # (and whose blob is re-pickled O(buffered) every batch). When an open
+    # session exceeds ``max_open_turns``, its FROZEN prefix is flushed
+    # early: turns with ts < watermark can never be preceded, interleaved,
+    # or re-split by a future on-time arrival (late rows are dropped), so
+    # flushing them loses nothing — the trade is session FRAGMENTATION
+    # (several bundles for one logical session, fragment session_start/
+    # session_end local to each fragment), which is why the guard is
+    # opt-in. Turns at/after the watermark always stay buffered.
+    if max_open_turns:
+        kept = []
+        for s in open_sessions:
+            if len(s) > max_open_turns:
+                n_frozen = sum(1 for t in s if t[3] < wm_us)  # ts-sorted prefix
+                n_flush = min(n_frozen, len(s) - max_open_turns // 2)
+                if n_flush > 0:
+                    complete.append(s[:n_flush])
+                    s = s[n_flush:]
+            if s:
+                kept.append(s)
+        open_sessions = kept
+
     if open_sessions:
         remaining = [t for s in open_sessions for t in s]
         max_ts_us = max(t[3] for t in remaining)
@@ -226,18 +259,24 @@ def assemble_sessions_stateful(
     gap: str = "5 minutes",
     watermark_delay: str | None = "10 minutes",
     max_turns_per_bundle: int | None = None,
+    max_open_turns: int | None = None,
 ) -> DataFrame:
     """Streaming session assembly. ``transcripts`` must contain
     conv_id/turn_idx/role/text/ts. Watermark on ts bounds state size and
     drives the event-time session timeout. ``max_turns_per_bundle`` caps
-    bundle size (chunked emission for hot conversations).
+    bundle size (chunked emission for hot conversations);
+    ``max_open_turns`` caps OPEN-session state per key (frozen-prefix
+    early flush — see _assemble; trades session fragmentation for bounded
+    state on a never-gapping conversation).
     ``watermark_delay=None`` means the input stream ALREADY carries a
     watermark on ts (e.g. an upstream dropDuplicatesWithinWatermark) —
     re-defining one is disallowed by Spark."""
     gap_seconds = _parse_seconds(gap)
 
     def fn(key, pdfs, state):
-        return _assemble(key, pdfs, state, gap_seconds, max_turns_per_bundle)
+        return _assemble(
+            key, pdfs, state, gap_seconds, max_turns_per_bundle, max_open_turns
+        )
 
     t = transcripts.select("conv_id", "turn_idx", "role", "text", "ts")
     if watermark_delay is not None:

@@ -413,6 +413,51 @@ def test_bundle_size_cap_chunks_hot_conversation(spark, tmp_path):
     assert seen == sorted(seen) == list(range(200))
 
 
+def test_state_keys_are_unsalted_under_skew(spark, tmp_path):
+    """north_rule skew contract: the stateful assembly keys its state by
+    conv_id ONLY — no salt ever reaches a state key, so a hot conversation
+    is one logical key whose bundles carry the ORIGINAL conv_id and cover
+    every turn exactly once in turn order. (Bench evidence that the
+    unsalted hot task does not straggle — per-key overhead dominates
+    per-turn cost — is in BENCH.md's round-4 skew table.)"""
+    from healthcare_data_harmonization_dataflow_spark.sources.transcripts import (
+        write_time_ordered_stream,
+    )
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    n = 5000  # hot conv = 10% of turns (generator default)
+    t = generate_transcripts(spark, total_turns=n, late_one_in=10**9,
+                             malformed_per_mille=0)
+    in_convs = {r["conv_id"] for r in t.select("conv_id").distinct().collect()}
+    write_time_ordered_stream(t, inp, n_files=4)
+    append_flush_sentinel(spark, inp)
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        trigger={"availableNow": True},
+        watermark_delay="36 hours",
+        max_turns_per_bundle=100,
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ck"))
+    q.awaitTermination(300)
+    rows = pipe.bundles(spark).filter(
+        F.col("conv_id") != "conv-sentinel"
+    ).collect()
+    out_convs = {r["conv_id"] for r in rows}
+    # every emitted key is a pristine input conv_id: salting the state key
+    # (suffixes, fragment ids) would fail the subset check
+    assert out_convs <= in_convs, out_convs - in_convs
+    assert sum(r["n_turns"] for r in rows) == n
+    hot_idx = sorted(
+        t["turn_idx"]
+        for r in rows
+        if r["conv_id"] == "conv-hot"
+        for t in json.loads(r["bundle"])
+    )
+    assert hot_idx == list(range(n // 10))  # exactly once each, in order
+
+
 def test_sink_crash_between_write_and_commit(spark, tmp_path):
     """The documented crash window: batch data fully written but the commit
     marker never landed. Readers must ignore the orphan data; a replay of
@@ -1036,3 +1081,97 @@ def test_fanout_cleans_orphaned_staging_on_replay(spark, tmp_path):
     df.write.mode("overwrite").parquet(os.path.join(staging, "batch=5"))
     fan.foreach_batch()(df, 5)  # fully-committed replay
     assert not os.path.exists(os.path.join(staging, "batch=5"))
+
+
+def test_state_guard_flushes_frozen_prefix_of_never_gapping_session():
+    """max_open_turns: a conversation that never gaps would otherwise grow
+    state without bound. Driving the _assemble handler directly with a
+    mocked GroupState: once the open session exceeds the cap, its FROZEN
+    prefix (ts < watermark) flushes early as normal bundle rows; turns at
+    or after the watermark stay buffered; nothing is lost or duplicated."""
+    import json as _json
+
+    import pandas as pd
+
+    from healthcare_data_harmonization_dataflow_spark.streaming.assembly import (
+        _assemble,
+        _unpack_turns,
+    )
+
+    class MockGroupState:
+        def __init__(self):
+            self.v = None
+            self.wm_ms = 0
+            self.hasTimedOut = False
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def remove(self):
+            self.v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    def batch(idxs, ts_seconds):
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "turn_idx": pd.array(idxs, dtype="int64"),
+                        "role": ["user"] * len(idxs),
+                        "text": [f"t{i}" for i in idxs],
+                        "ts": pd.to_datetime(ts_seconds, unit="s"),
+                    }
+                )
+            ]
+        )
+
+    state = MockGroupState()
+    gap = 60  # never exceeded: consecutive turns 10s apart
+    emitted = []
+
+    def drive(idxs, ts_seconds, wm_s):
+        state.wm_ms = wm_s * 1000
+        for pdf in _assemble(
+            ("conv-hot",), batch(idxs, ts_seconds), state, gap,
+            max_turns_per_bundle=None, max_open_turns=10,
+        ):
+            emitted.extend(pdf.to_dict("records"))
+
+    # batch 1: 8 turns, under the cap -> all buffered, nothing emitted
+    drive(list(range(8)), [i * 10 for i in range(8)], wm_s=0)
+    assert emitted == [] and state.exists
+    # batch 2: 8 more ON-TIME turns (ts 80..150 >= wm 80; 16 total > cap
+    # 10); the watermark at t=80 freezes the first 8 turns (ts 0..70);
+    # flush = min(frozen=8, 16 - 10//2 = 11) = 8
+    drive(list(range(8, 16)), [i * 10 for i in range(8, 16)], wm_s=80)
+    assert len(emitted) == 1
+    frag = emitted[0]
+    assert frag["conv_id"] == "conv-hot" and frag["n_turns"] == 8
+    assert [t["turn_idx"] for t in _json.loads(frag["bundle"])] == list(range(8))
+    buffered = _unpack_turns(state.v[0])
+    assert len(buffered) == 8  # 16 - 8 flushed
+    assert min(t[0] for t in buffered) == 8  # only the tail remains
+    # batch 3: timeout drains the remainder; total coverage exact
+    state.hasTimedOut = True
+    for pdf in _assemble(("conv-hot",), iter([]), state, gap,
+                         max_turns_per_bundle=None, max_open_turns=10):
+        emitted.extend(pdf.to_dict("records"))
+    all_idx = sorted(
+        t["turn_idx"] for r in emitted for t in _json.loads(r["bundle"])
+    )
+    assert all_idx == list(range(16))  # every turn exactly once
+    assert not state.exists
