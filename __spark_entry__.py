@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from healthcare_data_harmonization_dataflow_spark.functions import text as T
 from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
+from healthcare_data_harmonization_dataflow_spark.operators import curation as _curation
 from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
 from healthcare_data_harmonization_dataflow_spark.operators import graph as G
 from healthcare_data_harmonization_dataflow_spark.operators import multimodal as MM
@@ -1048,6 +1049,34 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(aug, min_docs=3)
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-style quality gate (operators/curation.py): shape signals
+    (word count, mean word length, alpha-word ratio, distinct stopwords)
+    in one codegen projection + repetition signals (top word-2/3-gram
+    character fractions) via an md5-collapsed gram count — 16-byte hashes
+    shuffle, never text. Integer-ppm math for bit-exact DuckDB parity."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        gopher_signals,
+    )
+
+    return gopher_signals(_docs(spark, sf_dir))
+
+
+def q_mixture_sample(spark, sf_dir):
+    """sqrt-temperature data mixing (operators/curation.py): downsample to
+    half the corpus with per-source shares proportional to sqrt(char
+    volume) — small sources up-weighted vs proportional sampling. Rates
+    derive from one partial-aggregated groupBy; the corpus never shuffles
+    (broadcast rate join + md5 hash gate). IEEE-correctly-rounded ops only
+    (integer sums, sqrt, *, /, floor), so DuckDB reproduces keep_ppm
+    bit-for-bit."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    return mixture_sample(_docs(spark, sf_dir))
+
+
 def q_doc_chunks(spark, sf_dir):
     """Token-window chunking (operators/curation.py): 32-token chunks,
     8-token overlap (sized so sf0.01 docs produce several chunks each) —
@@ -1272,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_curate_v2": q_corpus_curate_v2,
         "tablerow_json": q_tablerow_json,
+        "quality_gopher": q_quality_gopher,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1862,4 +1893,6 @@ def oracle_sql() -> dict[str, str]:
         "tablerow_json": """
             SELECT event_id, concat('{"Event":', props, '}') AS row_json FROM events
         """,
+        "quality_gopher": _curation.gopher_oracle_sql(),
+        "mixture_sample": _curation.mixture_sample_oracle_sql(),
     }

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "pack_sequences",
     "corpus_curate_v2",
+    "quality_gopher",
+    "mixture_sample",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -400,3 +400,276 @@ def ngram_contamination(
             (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality gates (repetition + shape signals)
+# --------------------------------------------------------------------------
+
+# Shared constants for the Gopher-style gate (Rae et al. 2021, "Scaling
+# Language Models" appendix A1.1, adapted to this corpus's single-line
+# documents: the line/paragraph repetition signals degenerate, so the
+# word-n-gram repetition family carries the repetition axis).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_PPM = 3_000_000  # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN_PPM = 10_000_000
+GOPHER_MIN_ALPHA_RATIO_PPM = 800_000  # >= 80% words contain a letter
+GOPHER_MIN_STOP_DISTINCT = 2  # >= 2 distinct English stopwords
+GOPHER_MAX_BIGRAM_FRAC_PPM = 200_000  # top 2-gram <= 20% of chars
+GOPHER_MAX_TRIGRAM_FRAC_PPM = 180_000  # top 3-gram <= 18% of chars
+
+# Gopher's published stop list ("the be to of and that have with") plus
+# the article "a" — the gate asks for >= 2 DISTINCT function words, and a
+# corpus whose only function words are "the"/"a" (this fixture) must be
+# able to pass it.
+_GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+_WS_SPARK = "filter(split(lower(coalesce(text, '')), ' '), w -> w != '')"
+_WS_DUCK = (
+    "list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w != '')"
+)
+
+
+def _stop_pred(var: str) -> str:
+    return "(" + " OR ".join(f"{var} = '{w}'" for w in _GOPHER_STOPS) + ")"
+
+
+def gopher_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality signals + keep flag, per document.
+
+    Shape/quality signals (word count, mean word length, alphabetic-word
+    ratio, distinct-stopword count) are ONE codegen projection — no
+    Python, no shuffle. The repetition signals (fraction of characters
+    claimed by the most frequent word 2-gram / 3-gram) need a per-gram
+    count, which is done scalably: grams explode as (doc_id, n,
+    md5(gram), chars) — a 16-byte hash plus two ints shuffle, never gram
+    text — partial-aggregated into counts, reduced to the per-doc top by
+    ``max(struct(count, chars))`` (deterministic tie-break: more
+    characters wins at equal count; ties beyond that have equal
+    numerator), and joined back on doc_id. At 100 TB the gram stage is
+    the cost: ~2 hashes per word, all map-side combinable, no quadratic
+    path (contrast the per-row HOF alternative, O(words^2) per doc on
+    long documents).
+
+    All ratios are ppm via INTEGER division (floor), so the DuckDB oracle
+    (``gopher_oracle_sql``) matches bit-for-bit. Returns one row per input
+    document; empty/NULL text yields zeros and keep=false.
+    """
+    ws = docs.select(
+        "doc_id", F.expr(_WS_SPARK.replace("text", text_col)).alias("ws")
+    )
+    sig = ws.select(
+        "doc_id",
+        F.expr("cast(size(ws) as bigint)").alias("n_words"),
+        F.expr(
+            "aggregate(ws, 0L, (a, w) -> a + length(w))"
+        ).alias("word_chars"),
+        F.expr("cast(size(filter(ws, w -> w rlike '[a-z]')) as bigint)").alias(
+            "n_alpha_words"
+        ),
+        F.expr(
+            f"cast(size(array_distinct(filter(ws, w -> {_stop_pred('w')}))) as bigint)"
+        ).alias("n_stop_distinct"),
+    )
+    # tagged 2-/3-gram stream; the filter-over-sequence guard avoids
+    # sequence(1, 0) (which Spark renders as a DESCENDING [1, 0]) on docs
+    # shorter than the gram
+    grams = ws.select(
+        "doc_id",
+        F.expr(
+            "inline(flatten(transform(array(2, 3), n -> "
+            "transform("
+            "  filter(sequence(1, greatest(size(ws) - n + 1, 1)),"
+            "         i -> i <= size(ws) - n + 1),"
+            "  i -> named_struct("
+            "    'n', n,"
+            "    'gh', md5(concat_ws(' ', slice(ws, i, n))),"
+            "    'chars', cast(length(replace(concat_ws(' ', slice(ws, i, n)), ' ', '')) as bigint))"
+            "))))"
+        ),
+    )
+    tops = (
+        grams.groupBy("doc_id", "n", "gh", "chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.struct("c", "chars")).alias("top"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("n") == 2, F.col("top.c") * F.col("top.chars"))
+            ).alias("bi_prod"),
+            F.max(
+                F.when(F.col("n") == 3, F.col("top.c") * F.col("top.chars"))
+            ).alias("tri_prod"),
+        )
+    )
+    out = sig.join(tops, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "cast(word_chars * 1000000 div greatest(n_words, 1) as bigint)"
+        ).alias("mean_word_len_ppm"),
+        F.expr(
+            "cast(n_alpha_words * 1000000 div greatest(n_words, 1) as bigint)"
+        ).alias("alpha_ratio_ppm"),
+        "n_stop_distinct",
+        F.expr(
+            "cast(coalesce(bi_prod, 0) * 1000000 div greatest(word_chars, 1) as bigint)"
+        ).alias("top_bigram_frac_ppm"),
+        F.expr(
+            "cast(coalesce(tri_prod, 0) * 1000000 div greatest(word_chars, 1) as bigint)"
+        ).alias("top_trigram_frac_ppm"),
+    )
+    return out.withColumn(
+        "gopher_keep",
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len_ppm") >= GOPHER_MIN_MEAN_WORD_LEN_PPM)
+        & (F.col("mean_word_len_ppm") <= GOPHER_MAX_MEAN_WORD_LEN_PPM)
+        & (F.col("alpha_ratio_ppm") >= GOPHER_MIN_ALPHA_RATIO_PPM)
+        & (F.col("n_stop_distinct") >= GOPHER_MIN_STOP_DISTINCT)
+        & (F.col("top_bigram_frac_ppm") <= GOPHER_MAX_BIGRAM_FRAC_PPM)
+        & (F.col("top_trigram_frac_ppm") <= GOPHER_MAX_TRIGRAM_FRAC_PPM),
+    )
+
+
+def gopher_oracle_sql() -> str:
+    """DuckDB SQL reproducing gopher_signals bit-for-bit (same integer
+    ppm math, same md5-collapsed gram counting, same struct-max
+    tie-break)."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_WS_DUCK} AS ws FROM documents
+    ), sig AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS word_chars,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        CAST(len(list_distinct(list_filter(ws, x -> {_stop_pred('x')}))) AS BIGINT) AS n_stop_distinct
+      FROM w
+    ), g AS (
+      SELECT doc_id, n, md5(gram) AS gh,
+             CAST(length(replace(gram, ' ', '')) AS BIGINT) AS chars
+      FROM w, (VALUES (2), (3)) t(n),
+           UNNEST(list_transform(range(greatest(len(ws) - n + 1, 0)),
+                                 i -> array_to_string(ws[i + 1 : i + n], ' '))) u(gram)
+    ), cnt AS (
+      SELECT doc_id, n, gh, chars, count(*) AS c FROM g GROUP BY ALL
+    ), top AS (
+      SELECT doc_id, n, max(struct_pack(c := c, ch := chars)) AS s
+      FROM cnt GROUP BY 1, 2
+    ), prod AS (
+      SELECT doc_id,
+        max(CASE WHEN n = 2 THEN (s).c * (s).ch END) AS bi_prod,
+        max(CASE WHEN n = 3 THEN (s).c * (s).ch END) AS tri_prod
+      FROM top GROUP BY 1
+    )
+    SELECT sig.doc_id, n_words,
+      CAST(word_chars * 1000000 // greatest(n_words, 1) AS BIGINT) AS mean_word_len_ppm,
+      CAST(n_alpha_words * 1000000 // greatest(n_words, 1) AS BIGINT) AS alpha_ratio_ppm,
+      n_stop_distinct,
+      CAST(coalesce(bi_prod, 0) * 1000000 // greatest(word_chars, 1) AS BIGINT) AS top_bigram_frac_ppm,
+      CAST(coalesce(tri_prod, 0) * 1000000 // greatest(word_chars, 1) AS BIGINT) AS top_trigram_frac_ppm,
+      (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+       AND CAST(word_chars * 1000000 // greatest(n_words, 1) AS BIGINT) BETWEEN {GOPHER_MIN_MEAN_WORD_LEN_PPM} AND {GOPHER_MAX_MEAN_WORD_LEN_PPM}
+       AND CAST(n_alpha_words * 1000000 // greatest(n_words, 1) AS BIGINT) >= {GOPHER_MIN_ALPHA_RATIO_PPM}
+       AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}
+       AND CAST(coalesce(bi_prod, 0) * 1000000 // greatest(word_chars, 1) AS BIGINT) <= {GOPHER_MAX_BIGRAM_FRAC_PPM}
+       AND CAST(coalesce(tri_prod, 0) * 1000000 // greatest(word_chars, 1) AS BIGINT) <= {GOPHER_MAX_TRIGRAM_FRAC_PPM}
+      ) AS gopher_keep
+    FROM sig LEFT JOIN prod ON sig.doc_id = prod.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixing (data-mixture rebalancing)
+# --------------------------------------------------------------------------
+
+def mixture_sample(
+    docs: DataFrame, budget_ppm: int = 500_000, id_col: str = "doc_id"
+) -> DataFrame:
+    """sqrt-temperature source rebalancing: deterministically downsample
+    the corpus to ``budget_ppm``/1e6 of its documents, allocating each
+    source a share proportional to sqrt(its character volume) — the
+    alpha=0.5 temperature mix multilingual/multi-domain training sets use
+    to up-weight small sources relative to proportional sampling.
+
+    Scale shape: per-source volume is ONE partial-aggregated groupBy over
+    (source, n_chars) — bytes never move; the (source, keep_ppm) rate
+    table is tiny (one row per source) and broadcast back, so the corpus
+    never shuffles; each row passes a pure md5-prefix hash gate
+    (idempotent under retries, reproducible across engines — same design
+    as ``stratified_sample``).
+
+    Cross-engine exactness: weights use ONLY IEEE-754 correctly-rounded
+    operations (integer sums, sqrt, floor, *, /) in a fixed association
+    order, so Spark and DuckDB produce bit-identical keep_ppm — no
+    transcendentals (ln/pow), whose last-ulp behavior is libm-specific.
+    Per-source weight w = floor(sqrt(char_volume)) is summed as INTEGERS
+    (float summation order would be engine-dependent).
+    """
+    sizes = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("sz"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    w = sizes.select(
+        "source",
+        "nd",
+        F.expr("cast(floor(sqrt(cast(sz as double))) as bigint)").alias("w"),
+    )
+    totals = w.agg(
+        F.sum("w").alias("tw"), F.sum("nd").alias("n")
+    )
+    rates = w.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.expr(
+            f"cast(floor(least(1E0, "
+            f"((cast({budget_ppm} as double) / 1E6 * cast(n as double)) * "
+            f"(cast(w as double) / cast(tw as double))) / cast(nd as double)"
+            f") * 1E6) as bigint)"
+        ).alias("keep_ppm"),
+    )
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source", "inner")
+        .where(gate < F.col("keep_ppm"))
+        .select("doc_id", "source", "lang", "n_chars", "keep_ppm")
+    )
+
+
+def mixture_sample_oracle_sql(
+    budget_ppm: int = 500_000, id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL reproducing mixture_sample exactly (same integer weight
+    sums, same fixed-order IEEE double formula, same md5 gate)."""
+    return f"""
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz, count(*) AS nd
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, nd,
+             CAST(floor(sqrt(CAST(sz AS DOUBLE))) AS BIGINT) AS w
+      FROM s
+    ), t AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(nd) AS BIGINT) AS n FROM w
+    ), r AS (
+      -- 1e6 / 1e0 are DOUBLE literals in DuckDB; 1000000.0 would be
+      -- DECIMAL and silently switch the arithmetic to decimal rounding
+      SELECT source,
+        CAST(floor(least(1e0,
+          ((CAST({budget_ppm} AS DOUBLE) / 1e6 * CAST(n AS DOUBLE)) *
+           (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / CAST(nd AS DOUBLE)
+        ) * 1e6) AS BIGINT) AS keep_ppm
+      FROM w, t
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars, r.keep_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 13)) AS BIGINT) % 1000000
+          < r.keep_ppm
+    """

@@ -836,3 +836,99 @@ def test_ngram_jaccard_prefix_length_integer_exact(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_gopher_signals_reference_model(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        _GOPHER_STOPS,
+        gopher_signals,
+    )
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and the cat sat on "
+        "that mat while it rained out of spite in the garden near trees "
+        "with many other animals around here today"
+    )
+    spam = "buy now " * 30  # one bigram dominates
+    short = "too short to pass"
+    rows = [(1, clean), (2, spam.strip()), (3, short), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_signals(docs).collect()}
+
+    # pure-python reference (same integer-ppm math, same tie-break)
+    def ref(text):
+        ws = [w for w in (text or "").lower().split(" ") if w]
+        n = len(ws)
+        chars = sum(len(w) for w in ws)
+        alpha = sum(1 for w in ws if any("a" <= c <= "z" for c in w))
+        stops = len({w for w in ws if w in _GOPHER_STOPS})
+        fr = {}
+        for k in (2, 3):
+            grams = [" ".join(ws[i : i + k]) for i in range(n - k + 1)]
+            cnt = {}
+            for g in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            top = max(
+                ((c, len(g.replace(" ", ""))) for g, c in cnt.items()),
+                default=(0, 0),
+            )
+            fr[k] = top[0] * top[1] * 1_000_000 // max(chars, 1)
+        return {
+            "n_words": n,
+            "mean_word_len_ppm": chars * 1_000_000 // max(n, 1),
+            "alpha_ratio_ppm": alpha * 1_000_000 // max(n, 1),
+            "n_stop_distinct": stops,
+            "top_bigram_frac_ppm": fr[2],
+            "top_trigram_frac_ppm": fr[3],
+        }
+
+    for doc_id, text in rows:
+        expect = ref(text)
+        for k, v in expect.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+    assert got[1]["gopher_keep"] is True  # clean doc passes every gate
+    assert got[2]["gopher_keep"] is False  # repetition gate trips
+    assert got[3]["gopher_keep"] is False  # min-words gate trips
+    assert got[4]["gopher_keep"] is False  # NULL text -> zeros, dropped
+    assert len(got) == 4  # every input doc yields a row
+
+
+def test_mixture_sample_sqrt_temperature_rates(spark):
+    import math
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small", "en", 100) for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars int"
+    )
+    out = mixture_sample(docs, budget_ppm=500_000)
+    got = out.collect()
+
+    # exact keep_ppm via the same IEEE ops: w = floor(sqrt(sz)) as ints
+    w_big = math.floor(math.sqrt(900 * 100.0))  # 300
+    w_small = math.floor(math.sqrt(100 * 100.0))  # 100
+    tw = w_big + w_small
+    n = 1000.0
+    ppm = {
+        "big": math.floor(min(1.0, ((500_000 / 1e6 * n) * (w_big / tw)) / 900.0) * 1e6),
+        "small": math.floor(
+            min(1.0, ((500_000 / 1e6 * n) * (w_small / tw)) / 100.0) * 1e6
+        ),
+    }
+    assert ppm["small"] == 1_000_000  # small source capped at keep-all
+    for r in got:
+        assert r["keep_ppm"] == ppm[r["source"]]
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["small"]) == 100  # keep-all survives the gate
+    # big source: hash gate at ~41.67% of 900 docs
+    assert 300 <= len(by_src["big"]) <= 450
+    # determinism: pure function of doc_id
+    again = sorted(r["doc_id"] for r in mixture_sample(docs).collect())
+    assert again == sorted(r["doc_id"] for r in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # rates broadcast: corpus unshuffled

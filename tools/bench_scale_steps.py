@@ -113,6 +113,15 @@ def main() -> None:
         for k in SCALES:
             d = os.path.join(root, f"x{k}")
             build_scaled(spark, base, d, k)
+            if k == SCALES[0]:
+                # JIT/codegen warmup: the first execution of each query in a
+                # fresh JVM pays class-load + codegen compilation, which at
+                # the x1 size rivals the query itself and corrupts the slope
+                # (an unwarmed x1 can measure SLOWER than x3). One untimed
+                # pass per query before any timing.
+                for q in QUERIES:
+                    run_noop(qs[q](spark, d))
+                    print(f"warmup {q} done", flush=True)
             for q in QUERIES:
                 best = math.inf
                 for _ in range(runs):
