@@ -343,6 +343,21 @@ def ngram_jaccard_pairs(
     ``profile_cap`` — bounding both the broadcast size and the P^2 work.
     One extra O(N) pass to dodge an O(N^2) mistake.
 
+    DENSE-CORPUS regime (measured, round 4): when the vocabulary is tiny
+    relative to the corpus (every token is common), no exact strategy can
+    prune — prefix tokens all have huge document frequency, so candidate
+    generation approaches all-pairs and the candidate count per token is
+    C(df, 2). This is inherent to exact similarity self-join on a dense
+    similarity graph, not an implementation defect: the prefix path's
+    own scaling on k disjoint replicas of such a corpus is ~linear in k
+    (each replica's quadratic core is constant-size), but its absolute
+    cost is ~quadratic in the replica. Benchmarks that sweep corpus size
+    must pin ONE strategy — auto's profile->prefix boundary otherwise
+    compares two different algorithms and fits a meaningless exponent.
+    For corpora like this, the scale path is MinHash-LSH
+    (:func:`minhash_lsh_pairs`, measured exponent ~0.5) or cluster labels
+    (operators/graph.py), both of which avoid exact pair enumeration.
+
     ``threshold`` must be in (0, 1]: at 0 every pair (even token-disjoint
     ones) trivially qualifies, which neither strategy's shared-token join
     can enumerate — the strategies would silently disagree.
@@ -508,7 +523,13 @@ def _ngram_jaccard_profile(
     return inter.unionByName(intra)
 
 
-def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> DataFrame:
+def _ngram_jaccard_prefix(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str,
+    salt_buckets: int = 32,
+    hot_df: int = 8192,
+) -> DataFrame:
     """Prefix-filtered (PPJoin-style, exact) inverted-index strategy:
 
     A pair at Jaccard >= t must share a token among each doc's first
@@ -518,6 +539,28 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> Dat
     the candidate count on skewed corpora — and candidates are verified
     exactly with one array_intersect per DISTINCT pair (no per-token
     multiplicity ever reaches a groupBy).
+
+    HOT-TOKEN SALT (round 4): the candidate join's key is the token, so
+    one token with document frequency df expands C(df, 2) pairs inside a
+    SINGLE task — observed serializing whole stages on a dense corpus
+    (jstack: one runnable executor thread for minutes). AQE's skew join
+    cannot help: the skew is in join OUTPUT, not input partition bytes.
+    Fix: postings of tokens with df >= ``hot_df`` are split
+    ``salt_buckets`` ways by a hash of the left doc id, and the right
+    side is replicated across the salts for those tokens only — each
+    pair is still generated exactly once (at the left row's salt), and
+    the hot token's quadratic expansion spreads over ``salt_buckets``
+    tasks. Self-gating at scale: prefixes hold each doc's RAREST tokens,
+    so on a large-vocabulary corpus almost nothing crosses ``hot_df``
+    and the replication cost is ~zero.
+
+    ``hot_df`` is deliberately HIGH (8192 ~ C(df,2) = 33M pairs from one
+    task, the point where one key's expansion rivals a whole stage):
+    measured on a dense 5k-doc corpus whose ~40 hot tokens already
+    saturate 32 cores, salting at df>=1024 was 26% SLOWER (x1 216 s ->
+    272 s) — the B-fold build-side replication costs real work and buys
+    nothing when concurrent hot keys >= cores. The salt is insurance for
+    the few-ultra-hot-tokens regime, not a default rewrite of the join.
     """
     threshold_ppm = round(threshold * 1_000_000)
     wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws"))
@@ -535,11 +578,39 @@ def _ngram_jaccard_prefix(docs: DataFrame, threshold: float, id_col: str) -> Dat
         toks.join(dfreq, "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
-        .select(id_col, "tok")
+        .select(id_col, "tok", "df")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    hot = F.col("df") >= hot_df
+    a = (
+        prefix.withColumn(
+            "s",
+            F.when(hot, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("df")  # salt computed; df must not ride the join shuffle
+        .alias("a")
+    )
+    b = (
+        prefix.withColumn(
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(hot, F.lit(salt_buckets - 1)).otherwise(F.lit(0)),
+                )
+            ),
+        )
+        .drop("df")
+        .alias("b")
+    )
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2"))
         .distinct()
     )

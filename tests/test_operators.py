@@ -932,3 +932,32 @@ def test_mixture_sample_sqrt_temperature_rates(spark):
     assert again == sorted(r["doc_id"] for r in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # rates broadcast: corpus unshuffled
+
+
+def test_ngram_jaccard_prefix_hot_token_salt_exact(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        _ngram_jaccard_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    # dense corpus: every doc shares token 'hot' (df = n >> hot_df), plus
+    # three identical docs and one near-dup pair that must survive
+    rows = [(i, f"hot u{i}a u{i}b u{i}c") for i in range(40)]
+    rows += [(100, "hot same same2 same3"), (101, "hot same same2 same3"),
+             (102, "hot same same2 same3"),
+             (200, "hot near near2 near3 extra"),
+             (201, "hot near near2 near3 other")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    salted = _ngram_jaccard_prefix(
+        docs, 0.5, "doc_id", salt_buckets=4, hot_df=10
+    )
+    unsalted = ngram_jaccard_pairs(docs, 0.5, strategy="profile")
+    key = lambda r: (r["doc1"], r["doc2"], r["jaccard_ppm"])  # noqa: E731
+    got = sorted(key(r) for r in salted.collect())
+    want = sorted(key(r) for r in unsalted.collect())
+    assert got == want and len(got) > 0  # salting changes nothing but skew
+    assert (100, 101, 1_000_000) in got  # identical pair generated ONCE
+    # the hot token is salted: the candidate join key includes the salt
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan

@@ -53,6 +53,27 @@ SCALES = [1, 3, 10]
 _OFF = 1_000_000  # id offset per replica (>> any base id)
 
 
+def _extra_queries():
+    """Strategy-pinned variants, so a slope measures ONE algorithm.
+
+    The registered dedup_ngram_jaccard uses strategy='auto', which
+    crosses the profile->prefix boundary between x1 (5k profiles) and
+    x3 (15k > profile_cap): the x1/x3 times then compare two different
+    algorithms and the fitted exponent is meaningless (measured 2.5 s ->
+    457 s, a fake slope of ~4.7). Pinning 'prefix' at every point
+    isolates the PPJoin path's own scaling.
+    """
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def prefix_q(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        return ngram_jaccard_pairs(docs, strategy="prefix")
+
+    return {"dedup_ngram_jaccard_prefix": prefix_q}
+
+
 def build_scaled(spark, base_dir: str, out_dir: str, k: int) -> None:
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     embs = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
@@ -105,24 +126,39 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SCALE_QUERIES / SCALE_POINTS: comma-separated overrides so slow or
+    # strategy-pinned queries can be swept separately at their own budget
+    queries = [
+        q
+        for q in os.environ.get("SCALE_QUERIES", ",".join(QUERIES)).split(",")
+        if q
+    ]
+    scales = [
+        int(s)
+        for s in os.environ.get(
+            "SCALE_POINTS", ",".join(map(str, SCALES))
+        ).split(",")
+        if s
+    ]
     spark = build_session(app_name="scale-steps", master=f"local[{cpus}]")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(_extra_queries())
     root = tempfile.mkdtemp(prefix="scale_steps_")
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
-        for k in SCALES:
+        for k in scales:
             d = os.path.join(root, f"x{k}")
             build_scaled(spark, base, d, k)
-            if k == SCALES[0]:
+            if k == scales[0]:
                 # JIT/codegen warmup: the first execution of each query in a
                 # fresh JVM pays class-load + codegen compilation, which at
                 # the x1 size rivals the query itself and corrupts the slope
                 # (an unwarmed x1 can measure SLOWER than x3). One untimed
                 # pass per query before any timing.
-                for q in QUERIES:
+                for q in queries:
                     run_noop(qs[q](spark, d))
                     print(f"warmup {q} done", flush=True)
-            for q in QUERIES:
+            for q in queries:
                 best = math.inf
                 for _ in range(runs):
                     t0 = time.time()
@@ -131,14 +167,14 @@ def main() -> None:
                 results[q][k] = round(best, 2)
                 print(f"x{k} {q}: {results[q][k]}s", flush=True)
         out = {}
-        for q in QUERIES:
+        for q in queries:
             t = results[q]
-            slope = math.log(t[SCALES[-1]] / t[SCALES[0]]) / math.log(
-                SCALES[-1] / SCALES[0]
+            slope = math.log(t[scales[-1]] / t[scales[0]]) / math.log(
+                scales[-1] / scales[0]
             )
             out[q] = {
-                "sec": {f"x{k}": t[k] for k in SCALES},
-                "exponent_1_to_10": round(slope, 2),
+                "sec": {f"x{k}": t[k] for k in scales},
+                f"exponent_{scales[0]}_to_{scales[-1]}": round(slope, 2),
             }
         print(json.dumps({"scale_steps": out, "base": base, "cpus": cpus}))
     finally:
