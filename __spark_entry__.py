@@ -1077,6 +1077,36 @@ def q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir))
 
 
+def q_corpus_curate_v3(spark, sf_dir):
+    """Quality-gated temperature mixing, composed: Gopher keep gate
+    (shape codegen + md5-collapsed gram repetition counts) -> sqrt-
+    temperature source rebalancing whose rates are RE-derived over the
+    gate's survivors (a pipeline that fixed rates on the pre-gate corpus
+    would over-sample sources whose docs the gate rejects). Plan shape:
+    the gate verdict joins back by doc_id (the dedup_lines pattern), the
+    rates stay a broadcast row set, and the survivor corpus passes one
+    md5 hash gate."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        gopher_signals,
+        mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = gopher_signals(docs).where("gopher_keep").select("doc_id")
+    return mixture_sample(docs.join(keep, "doc_id"))
+
+
+def _corpus_curate_v3_oracle() -> str:
+    return _curation.mixture_sample_oracle_sql(
+        table="kept",
+        cte_prefix=(
+            f"gq AS ({_curation.gopher_oracle_sql()}), "
+            "kept AS (SELECT d.* FROM documents d JOIN gq USING (doc_id) "
+            "WHERE gq.gopher_keep),"
+        ),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Token-window chunking (operators/curation.py): 32-token chunks,
     8-token overlap (sized so sf0.01 docs produce several chunks each) —
@@ -1303,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tablerow_json": q_tablerow_json,
         "quality_gopher": q_quality_gopher,
         "mixture_sample": q_mixture_sample,
+        "corpus_curate_v3": q_corpus_curate_v3,
     }
 
 
@@ -1895,4 +1926,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_gopher": _curation.gopher_oracle_sql(),
         "mixture_sample": _curation.mixture_sample_oracle_sql(),
+        "corpus_curate_v3": _corpus_curate_v3_oracle(),
     }

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_curate_v2",
     "quality_gopher",
     "mixture_sample",
+    "corpus_curate_v3",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -644,14 +644,22 @@ def mixture_sample(
 
 
 def mixture_sample_oracle_sql(
-    budget_ppm: int = 500_000, id_col: str = "doc_id"
+    budget_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    cte_prefix: str = "",
 ) -> str:
     """DuckDB SQL reproducing mixture_sample exactly (same integer weight
-    sums, same fixed-order IEEE double formula, same md5 gate)."""
+    sums, same fixed-order IEEE double formula, same md5 gate).
+
+    ``table`` may name a CTE declared in ``cte_prefix`` (a string of
+    ``name AS (...),`` clauses spliced before this query's own CTEs), so
+    composed pipelines can re-derive the rates over a FILTERED corpus.
+    """
     return f"""
-    WITH s AS (
+    WITH {cte_prefix} s AS (
       SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz, count(*) AS nd
-      FROM documents GROUP BY 1
+      FROM {table} GROUP BY 1
     ), w AS (
       SELECT source, nd,
              CAST(floor(sqrt(CAST(sz AS DOUBLE))) AS BIGINT) AS w
@@ -669,7 +677,7 @@ def mixture_sample_oracle_sql(
       FROM w, t
     )
     SELECT d.doc_id, d.source, d.lang, d.n_chars, r.keep_ppm
-    FROM documents d JOIN r USING (source)
+    FROM {table} d JOIN r USING (source)
     WHERE CAST(concat('0x', substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 13)) AS BIGINT) % 1000000
           < r.keep_ppm
     """
