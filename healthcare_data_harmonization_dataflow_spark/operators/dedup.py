@@ -311,6 +311,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     strategy: str = "auto",
     profile_cap: int = 10_000,
+    salt_buckets: int = 32,
+    hot_df: int = 8192,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over distinct-token sets.
 
@@ -380,7 +382,9 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_profile(docs, threshold, id_col, profile_cap)
     if strategy != "prefix":
         raise ValueError(f"unknown ngram-jaccard strategy {strategy!r}")
-    return _ngram_jaccard_prefix(docs, threshold, id_col)
+    return _ngram_jaccard_prefix(
+        docs, threshold, id_col, salt_buckets=salt_buckets, hot_df=hot_df
+    )
 
 
 def _ngram_jaccard_profile(
