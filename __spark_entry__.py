@@ -1194,10 +1194,14 @@ def _corpus_curate_v2_oracle() -> str:
     clean = pii_oracle_exprs()["clean_text"]
     return f"""
         WITH aug AS (
+          -- CASE mirrors Spark's NULL-propagating concat; scrub_pii's
+          -- NULL-safe _txt then turns it into '' on both engines
           SELECT doc_id, lang,
+                 CASE WHEN text IS NULL THEN NULL ELSE
                  concat(text, ' contact user', doc_id,
                         '@mail.example.com ssn 123-45-',
-                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                 END AS text
           FROM documents),
         scrubbed AS (
           SELECT doc_id, lang, {clean} AS text FROM aug),
@@ -1847,7 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+                     list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS toks
               FROM documents),
             s AS (
               SELECT doc_id, toks, len(toks) AS n,
@@ -1874,7 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split(text, ' '), w -> w != '') AS toks
+                     list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS toks
               FROM documents),
             s AS (
               SELECT doc_id, toks, len(toks) AS n,
@@ -1882,18 +1886,24 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id,
                    CAST(start // 24 AS BIGINT) AS chunk_idx,
-                   array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+                   coalesce(array_to_string(list_slice(toks, start + 1, start + 32), ' '), '') AS chunk_text,  -- empty slice is NULL in DuckDB, '' in Spark's concat_ws
                    CAST(least(32, greatest(n - start, 0)) AS BIGINT) AS n_tokens
             FROM s
         """,
         "dedup_lines": """
             WITH aug AS (
+              -- CASE mirrors Spark's NULL-propagating concat (DuckDB's
+              -- concat IGNORES NULL args); the coalesce at the split
+              -- mirrors the operator's _txt('') so a NULL-text doc
+              -- yields one '' line on BOTH engines
               SELECT doc_id,
+                     CASE WHEN text IS NULL THEN NULL ELSE
                      concat(regexp_replace(text, '\\. ', '.' || chr(10), 'g'),
                             CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END,
-                            CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END) AS text
+                            CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END)
+                     END AS text
               FROM documents),
-            ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug),
+            ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr FROM aug),
             lines AS (
               SELECT doc_id, unnest(arr) AS line,
                      unnest(generate_series(1, len(arr))) AS pos FROM ls),

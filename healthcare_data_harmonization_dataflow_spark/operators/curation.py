@@ -425,7 +425,11 @@ GOPHER_MAX_TRIGRAM_FRAC_PPM = 180_000  # top 3-gram <= 18% of chars
 # able to pass it.
 _GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
 
-_WS_SPARK = "filter(split(lower(coalesce(text, '')), ' '), w -> w != '')"
+# {col} is an explicit placeholder (str.format), not a bare 'text' to be
+# str.replace'd — a second literal 'text' anywhere in the template (or a
+# function name containing it) must never be rewritten by accident
+_WS_SPARK_T = "filter(split(lower(coalesce({col}, '')), ' '), w -> w != '')"
+_WS_SPARK = _WS_SPARK_T.format(col="text")
 _WS_DUCK = (
     "list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w != '')"
 )
@@ -457,7 +461,7 @@ def gopher_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     document; empty/NULL text yields zeros and keep=false.
     """
     ws = docs.select(
-        "doc_id", F.expr(_WS_SPARK.replace("text", text_col)).alias("ws")
+        "doc_id", F.expr(_WS_SPARK_T.format(col=text_col)).alias("ws")
     )
     sig = ws.select(
         "doc_id",
@@ -639,7 +643,7 @@ def mixture_sample(
     return (
         docs.join(F.broadcast(rates), "source", "inner")
         .where(gate < F.col("keep_ppm"))
-        .select("doc_id", "source", "lang", "n_chars", "keep_ppm")
+        .select(id_col, "source", "lang", "n_chars", "keep_ppm")
     )
 
 

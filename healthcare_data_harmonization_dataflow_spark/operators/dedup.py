@@ -566,6 +566,12 @@ def _ngram_jaccard_prefix(
     nothing when concurrent hot keys >= cores. The salt is insurance for
     the few-ultra-hot-tokens regime, not a default rewrite of the join.
     """
+    if salt_buckets < 1 or hot_df < 1:
+        # pmod(x, 0) is NULL: a zero bucket count would silently drop every
+        # hot-token candidate pair instead of erroring
+        raise ValueError(
+            f"salt_buckets/hot_df must be >= 1, got {salt_buckets}/{hot_df}"
+        )
     threshold_ppm = round(threshold * 1_000_000)
     wordsets = docs.select(F.col(id_col), F.expr(_SPARK_WORDS).alias("ws"))
     toks = wordsets.select(id_col, F.size("ws").alias("sz"), F.explode("ws").alias("tok"))

@@ -280,19 +280,36 @@ class ExactlyOnceParquetSink:
     def _commit_path(self, batch_id: int) -> str:
         return os.path.join(self._commits_dir, f"{batch_id}.json")
 
+    def _parse_marker(
+        self, batch_id: int, *, check_exists: bool = True
+    ) -> "dict | None":
+        """The single validity rule every reader shares: a marker counts
+        only if its bytes read, parse as a JSON OBJECT, and carry the
+        matching batch_id. Anything else — torn copy, scalar JSON like
+        '5' (which would raise AttributeError on .get), a file that
+        vanished between list and read, a transient FS read failure — is
+        UNCOMMITTED: the data directory is overwrite-idempotent, so the
+        worst case is a safe replay, never a crash or a double-read.
+        ``check_exists=False`` skips the exists() probe for callers that
+        just listed the file (one FS round trip per marker, not three)."""
+        fs = self._fs()  # outside the try: config errors must still raise
+        path = self._commit_path(batch_id)
+        try:
+            if check_exists and not fs.exists(path):
+                return None
+            doc = json.loads(fs.read_text(path))
+        except Exception:
+            return None
+        if not isinstance(doc, dict) or doc.get("batch_id") != batch_id:
+            return None
+        return doc
+
     def is_committed(self, batch_id: int) -> bool:
         """A marker counts only if it PARSES with the matching batch_id: a
         torn marker (non-atomic rename emulation interrupted mid-copy) is
         treated as uncommitted, so the replay self-heals it — the data
         directory is overwrite-idempotent and the marker is rewritten."""
-        fs = self._fs()
-        path = self._commit_path(batch_id)
-        if not fs.exists(path):
-            return False
-        try:
-            return json.loads(fs.read_text(path)).get("batch_id") == batch_id
-        except ValueError:
-            return False
+        return self._parse_marker(batch_id) is not None
 
     def _data_dir(self, batch_id: int) -> str:
         return os.path.join(self.base_dir, "data", f"batch={batch_id}")
@@ -381,41 +398,44 @@ class ExactlyOnceParquetSink:
     def foreach_batch(self):
         return lambda df, batch_id: self.write_batch(df, batch_id)
 
-    def committed_batches(self) -> list[int]:
+    def _committed_markers(self) -> "list[tuple[int, dict]]":
+        """One listing + ONE read per marker (the old shape re-probed
+        exists() and re-read each marker in committed_batches, lineage
+        AND read_committed — 3 driver-side FS round trips per marker per
+        call, minutes per micro-batch at 10k batches on an object
+        store). Same validity rule as is_committed via _parse_marker."""
         fs = self._fs()
         if not fs.isdir(self._commits_dir):
             return []
-        ids = [
-            int(f[:-5])
-            for f in fs.listdir(self._commits_dir)
-            if f.endswith(".json") and f[:-5].isdigit()
-        ]
-        # same validity rule as is_committed: a torn marker is not a
-        # commit — readers skip it rather than crash on json.loads, and
-        # the batch stays replayable
-        return sorted(b for b in ids if self.is_committed(b))
+        pairs = []
+        for f in fs.listdir(self._commits_dir):
+            if f.endswith(".json") and f[:-5].isdigit():
+                b = int(f[:-5])
+                doc = self._parse_marker(b, check_exists=False)
+                if doc is not None:
+                    pairs.append((b, doc))
+        pairs.sort(key=lambda p: p[0])
+        return pairs
+
+    def committed_batches(self) -> list[int]:
+        return [b for b, _ in self._committed_markers()]
 
     def lineage(self) -> list[dict]:
-        fs = self._fs()
-        return [
-            json.loads(fs.read_text(self._commit_path(b)))
-            for b in self.committed_batches()
-        ]
+        return [doc for _, doc in self._committed_markers()]
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         if self._spark is None:
             self._spark = spark
         fs = self._fs()
-        batches = self.committed_batches()
-        paths = [b for b in batches if fs.isdir(self._data_dir(b))]
+        markers = self._committed_markers()
+        paths = [b for b, _ in markers if fs.isdir(self._data_dir(b))]
         if not paths:
             # empty table: recover the real schema from the latest commit
             # (recorded at write time) so callers can select/filter the
             # same columns they would on a populated sink
             from pyspark.sql.types import StructType
 
-            for b in reversed(batches):
-                c = json.loads(fs.read_text(self._commit_path(b)))
+            for _, c in reversed(markers):
                 if "schema" in c:
                     return spark.createDataFrame(
                         [], StructType.fromJson(json.loads(c["schema"]))

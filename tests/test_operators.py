@@ -961,3 +961,51 @@ def test_ngram_jaccard_prefix_hot_token_salt_exact(spark):
     # the hot token is salted: the candidate join key includes the salt
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_null_text_oracle_parity_end_to_end(spark):
+    """The curation operators coalesce NULL text; their DuckDB oracles
+    must make the SAME choice (DuckDB's concat ignores NULL args where
+    Spark's propagates them) — run query and oracle on a corpus WITH a
+    NULL-text row and compare exactly."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta. gamma delta", None, "alpha beta. end", ""],
+            "lang": ["en", "en", "de", "en"],
+            "source": ["s0", "s0", "s1", "s1"],
+            "n_chars": [23, 0, 15, 0],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notnull(pdf), None),
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+    import unittest.mock as mock
+
+    oracles = entry.oracle_sql()
+    for name in ("dedup_lines", "doc_chunks", "quality_gopher"):
+        with mock.patch.object(entry, "_docs", lambda s, d: sdf):
+            got = entry.queries()[name](spark, "unused")
+        cols = sorted(got.columns)
+        spark_rows = sorted(
+            (tuple(r[c] for c in cols) for r in got.collect()), key=repr
+        )
+        odf = con.sql(oracles[name]).df()
+        duck_rows = sorted(
+            (
+                tuple(None if pd.isna(v) else v for v in (r[c] for c in cols))
+                for _, r in odf.iterrows()
+            ),
+            key=repr,
+        )
+        assert spark_rows == duck_rows, name

@@ -1175,3 +1175,28 @@ def test_state_guard_flushes_frozen_prefix_of_never_gapping_session():
     )
     assert all_idx == list(range(16))  # every turn exactly once
     assert not state.exists
+
+
+def test_sink_scalar_json_marker_counts_as_uncommitted(spark, tmp_path):
+    """A corrupt marker whose bytes still parse as VALID scalar JSON
+    ('5', 'null', '"x"') must count as uncommitted like a torn one —
+    the old code only caught ValueError, so .get on a non-dict raised
+    AttributeError and crashed every reader."""
+    import os as _os
+
+    base = str(tmp_path / "s")
+    sink = ExactlyOnceParquetSink(base, "t")
+    df = spark.range(10).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df, 0)
+    for batch_id, junk in ((1, "5"), (2, "null"), (3, '"x"'), (4, "[1,2]")):
+        with open(
+            _os.path.join(base, "_commits", f"{batch_id}.json"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write(junk)
+        assert sink.is_committed(batch_id) is False
+    reader = ExactlyOnceParquetSink(base, "t")
+    assert reader.committed_batches() == [0]
+    assert reader.lineage()[0]["batch_id"] == 0
+    assert reader.read_committed(spark).count() == 10

@@ -169,12 +169,20 @@ def main() -> None:
         out = {}
         for q in queries:
             t = results[q]
-            slope = math.log(t[scales[-1]] / t[scales[0]]) / math.log(
-                scales[-1] / scales[0]
-            )
+            # guard the fit: a sub-5ms low point rounds to 0.0s and a
+            # single-point sweep has log(1)=0 — either would raise AFTER
+            # the whole timed sweep and discard every measurement
+            if len(scales) < 2 or t[scales[0]] <= 0 or t[scales[-1]] <= 0:
+                slope = None
+            else:
+                slope = round(
+                    math.log(t[scales[-1]] / t[scales[0]])
+                    / math.log(scales[-1] / scales[0]),
+                    2,
+                )
             out[q] = {
                 "sec": {f"x{k}": t[k] for k in scales},
-                f"exponent_{scales[0]}_to_{scales[-1]}": round(slope, 2),
+                f"exponent_{scales[0]}_to_{scales[-1]}": slope,
             }
         print(json.dumps({"scale_steps": out, "base": base, "cpus": cpus}))
     finally:
