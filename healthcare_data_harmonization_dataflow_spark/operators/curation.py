@@ -429,7 +429,6 @@ _GOPHER_STOPS = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
 # str.replace'd — a second literal 'text' anywhere in the template (or a
 # function name containing it) must never be rewritten by accident
 _WS_SPARK_T = "filter(split(lower(coalesce({col}, '')), ' '), w -> w != '')"
-_WS_SPARK = _WS_SPARK_T.format(col="text")
 _WS_DUCK = (
     "list_filter(string_split(lower(coalesce(text, '')), ' '), w -> w != '')"
 )

@@ -1200,3 +1200,61 @@ def test_sink_scalar_json_marker_counts_as_uncommitted(spark, tmp_path):
     assert reader.committed_batches() == [0]
     assert reader.lineage()[0]["batch_id"] == 0
     assert reader.read_committed(spark).count() == 10
+
+
+def test_sink_transient_read_failure_raises_for_readers(spark, tmp_path):
+    """A transient FS read failure on a marker that EXISTS must not make
+    the committed batch silently vanish from reader-facing output
+    (read_committed / lineage / committed_batches) — it retries once,
+    then raises. The write path (is_committed) stays lenient: treating
+    the marker as uncommitted there only triggers a safe idempotent
+    replay. A persistent failure on a VANISHED file is still uncommitted
+    everywhere."""
+    import pytest as _pytest
+
+    base = str(tmp_path / "s")
+    sink = ExactlyOnceParquetSink(base, "t")
+    df = spark.range(10).select(F.col("id").cast("string").alias("conv_id"))
+    sink.write_batch(df, 0)
+    sink.write_batch(
+        spark.range(10, 25).select(F.col("id").cast("string").alias("conv_id")), 1
+    )
+
+    class _FlakyReadFs(type(sink._fs())):
+        """Every read of marker 1 fails (persistent fault, file exists)."""
+
+        def read_text(self, path, *a, **k):
+            if path.endswith("1.json"):
+                raise IOError("simulated transient storage failure")
+            return super().read_text(path, *a, **k)
+
+    flaky = _FlakyReadFs()
+    sink._fs_cache = flaky
+    # write path: lenient — uncommitted means a safe replay, not a crash
+    assert sink.is_committed(1) is False
+    # reader paths: the committed batch must NOT silently disappear
+    with _pytest.raises(IOError, match="unreadable"):
+        sink.committed_batches()
+    with _pytest.raises(IOError, match="unreadable"):
+        sink.lineage()
+    with _pytest.raises(IOError, match="unreadable"):
+        sink.read_committed(spark)
+
+    sink._fs_cache = None  # back to the honest _LocalFs base
+
+    class _OneShotFlakyFs(type(sink._fs())):
+        """First read of marker 1 fails, the retry succeeds."""
+
+        def __init__(self):
+            self.failed = False
+
+        def read_text(self, path, *a, **k):
+            if path.endswith("1.json") and not self.failed:
+                self.failed = True
+                raise IOError("one-shot blip")
+            return super().read_text(path, *a, **k)
+
+    sink._fs_cache = _OneShotFlakyFs()
+    assert sink.committed_batches() == [0, 1]  # retry healed the blip
+    sink._fs_cache = None
+    assert sink.read_committed(spark).count() == 25

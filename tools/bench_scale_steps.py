@@ -140,9 +140,17 @@ def main() -> None:
         ).split(",")
         if s
     ]
-    spark = build_session(app_name="scale-steps", master=f"local[{cpus}]")
     qs = dict(entry.queries())
     qs.update(_extra_queries())
+    # fail fast on a SCALE_QUERIES typo — BEFORE the JVM spin-up and the
+    # expensive scaled-corpus build, not at qs[q] after the first scale
+    # point already ran
+    unknown = [q for q in queries if q not in qs]
+    if unknown:
+        raise SystemExit(
+            f"unknown SCALE_QUERIES names: {unknown}; known: {sorted(qs)}"
+        )
+    spark = build_session(app_name="scale-steps", master=f"local[{cpus}]")
     root = tempfile.mkdtemp(prefix="scale_steps_")
     results: dict[str, dict[int, float]] = {q: {} for q in queries}
     try:
