@@ -656,17 +656,24 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Connected components over the MinHash-LSH pair graph: every doc
-    labelled with the smallest doc_id of its duplicate cluster (the
-    keep-one-per-cluster step of a dedup pipeline). Min-label propagation,
-    O(diameter) shuffle-join rounds, lineage cut per round."""
+    """Connected components over the MinHash-LSH duplicate graph: every
+    doc labelled with the smallest doc_id of its duplicate cluster (the
+    keep-one-per-cluster step of a dedup pipeline). The edge input is the
+    STAR-REDUCED spanning subgraph (minhash_lsh_cluster_edges) — provably
+    the same components as the full clique pair set at O(groups×bands)
+    edges instead of O(Σ bucket²) pairs, so the quadratic pair
+    materialization never happens. Min-label propagation, O(diameter)
+    shuffle-join rounds, lineage cut per round. The oracle still closes
+    over the FULL pair list — identical transitive closure."""
     from healthcare_data_harmonization_dataflow_spark.operators.graph import (
         connected_components,
     )
 
     docs = _docs(spark, sf_dir)
-    edges = D.minhash_lsh_pairs(docs)
-    return connected_components(edges, nodes=docs.select("doc_id"))
+    edges = D.minhash_lsh_cluster_edges(docs)
+    return connected_components(
+        edges, nodes=docs.select("doc_id"), edges_unique=True
+    )
 
 
 def q_corpus_curate(spark, sf_dir):
@@ -687,7 +694,9 @@ def q_corpus_curate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     signals = docs.select("doc_id", T.langid_col(), *T.quality_cols())
     clusters = connected_components(
-        D.ngram_jaccard_pairs(docs, threshold=0.9), nodes=docs.select("doc_id")
+        D.ngram_jaccard_pairs(docs, threshold=0.9),
+        nodes=docs.select("doc_id"),
+        edges_unique=True,  # pair ops emit canonical doc1<doc2, distinct
     )
     return (
         signals.join(clusters, "doc_id")

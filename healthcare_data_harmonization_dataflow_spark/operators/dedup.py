@@ -99,19 +99,10 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return with_hashes.select(*cols)
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH candidate pairs: docs sharing any band of the signature.
-
-    Signature-collapsed: docs with IDENTICAL signatures (exact dups and
-    most near-dups — at J≈0.9 all K minhashes agree ~43% of the time)
-    group first, so the band self-join runs over distinct-signature groups,
-    not documents. On template-heavy corpora this shrinks the quadratic
-    hot-bucket join by the square of the collapse factor; the expansion
-    back to doc pairs is exactly the output size. Only fixed-width
-    signatures ever shuffle, never text. Docs with empty token sets have
-    null signatures and never pair (matches the raw band-join semantics,
-    where null band values fail the equi-join — and the DuckDB oracle).
-    """
+def _lsh_groups_bands(docs: DataFrame, id_col: str) -> "tuple[DataFrame, DataFrame]":
+    """Shared LSH scaffolding: signature-collapsed groups (one row per
+    distinct signature, members collected, gid = min member) and the
+    per-band banding of those groups (one row per group × band)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
     groups = (
@@ -138,6 +129,60 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band", "vals"),
     )
+    return groups, bands
+
+
+def minhash_lsh_cluster_edges(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Star-reduced LSH edge set for CLUSTERING: a spanning subgraph with
+    exactly the same connected components as ``minhash_lsh_pairs`` —
+    every LSH band bucket is a clique in the pair graph, and a star
+    (each group -> the bucket's min gid) spans a clique — at
+    O(groups × bands + docs) edges instead of O(Σ bucket²) pairs.
+
+    On a template-heavy corpus this removes the quadratic pair
+    materialization entirely (sf0.1: 9.7M clique pairs -> ~group-count
+    star edges), which is what dominates dedup_clusters' wall-clock; the
+    label-propagation rounds were never the bottleneck. Use this as the
+    edge input to connected_components when only cluster LABELS are
+    needed; use minhash_lsh_pairs when the pairs themselves are the
+    product (e.g. to verify candidates with an exact similarity).
+
+    Output is (doc1, doc2) with doc1 < doc2, globally distinct:
+    bucket-star edges over group ids, plus each member -> its gid.
+    """
+    groups, bands = _lsh_groups_bands(docs, id_col)
+    hubs = bands.groupBy("band", "vals").agg(F.min("gid").alias("hub"))
+    star = (
+        bands.select("band", "vals", "gid")
+        .join(hubs, ["band", "vals"])
+        .filter(F.col("gid") != F.col("hub"))
+        # the same (hub, gid) edge can recur across bands (groups agreeing
+        # on several bands): distinct over the SMALL star set, not pairs
+        .select(F.col("hub").alias("doc1"), F.col("gid").alias("doc2"))
+        .distinct()
+    )
+    member_edges = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.col("gid").alias("doc1"), F.explode("members").alias("doc2"))
+        .filter(F.col("doc1") != F.col("doc2"))
+    )
+    return star.unionByName(member_edges)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the signature.
+
+    Signature-collapsed: docs with IDENTICAL signatures (exact dups and
+    most near-dups — at J≈0.9 all K minhashes agree ~43% of the time)
+    group first, so the band self-join runs over distinct-signature groups,
+    not documents. On template-heavy corpora this shrinks the quadratic
+    hot-bucket join by the square of the collapse factor; the expansion
+    back to doc pairs is exactly the output size. Only fixed-width
+    signatures ever shuffle, never text. Docs with empty token sets have
+    null signatures and never pair (matches the raw band-join semantics,
+    where null band values fail the equi-join — and the DuckDB oracle).
+    """
+    groups, bands = _lsh_groups_bands(docs, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cross = (
         a.join(

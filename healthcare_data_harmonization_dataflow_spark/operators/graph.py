@@ -46,6 +46,7 @@ def connected_components(
     id_col: str = "doc_id",
     label_col: str = "cluster",
     max_iter: int = 50,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Label every node with the smallest node id in its component.
 
@@ -54,15 +55,21 @@ def connected_components(
     (isolated nodes — no pairs — come out labelled with themselves);
     when omitted the universe is the ids that appear in ``edges``.
     Returns (id_col, label_col), one row per node.
+
+    ``edges_unique=True`` asserts each undirected pair appears EXACTLY
+    once (the contract of every pair op in operators/dedup.py: canonical
+    doc1 < doc2, globally distinct). The symmetrized set is then unique
+    by construction and the distinct() — a full extra shuffle of 2×|E|
+    rows that dominated dedup_clusters at sf0.1 — is skipped.
     """
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
-    sym = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
-    # distinct() shuffles once; every round then reuses this materialized
-    # edge set
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if not edges_unique:
+        # distinct() shuffles once; every round then reuses this
+        # materialized edge set
+        sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)
 
     if nodes is not None:

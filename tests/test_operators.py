@@ -467,6 +467,57 @@ def test_connected_components_without_universe(spark):
     assert got == {3: 3, 7: 3, 9: 3}
 
 
+def test_lsh_cluster_edges_same_components_as_full_pairs(spark, sf_dir):
+    """minhash_lsh_cluster_edges is a spanning subgraph of the LSH pair
+    graph: connected_components over it must label every doc identically
+    to CC over the full clique pair set (the dedup_clusters contract —
+    the oracle closes over the FULL pairs), at O(groups×bands) edges
+    instead of O(Σ bucket²)."""
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        minhash_lsh_cluster_edges,
+        minhash_lsh_pairs,
+    )
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.select("doc_id")
+    full = connected_components(minhash_lsh_pairs(docs), nodes=nodes)
+    star_edges = minhash_lsh_cluster_edges(docs)
+    star = connected_components(star_edges, nodes=nodes, edges_unique=True)
+    assert full.exceptAll(star).count() == 0
+    assert star.exceptAll(full).count() == 0
+    # the unique-pairs contract the edges_unique fast path relies on
+    n = star_edges.count()
+    assert star_edges.distinct().count() == n
+    assert star_edges.filter("doc1 >= doc2").count() == 0
+    # and it is genuinely star-reduced, never more edges than pairs
+    assert n <= minhash_lsh_pairs(docs).count()
+
+
+def test_edges_unique_fast_path_matches_default(spark):
+    """edges_unique=True must change the plan (skip the distinct), never
+    the result — including when the input repeats a pair in BOTH a
+    canonical-unique set (valid) vs the default path on a messy set."""
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    unique_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc1 long, doc2 long"
+    )
+    a = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(unique_edges, edges_unique=True).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(unique_edges).collect()
+    }
+    assert a == b == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
 # ------------------------------------------------------- curation operators
 def test_scrub_pii_redacts_and_counts(spark):
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
