@@ -1094,14 +1094,25 @@ def q_corpus_curate_v3(spark, sf_dir):
     would over-sample sources whose docs the gate rejects). Plan shape:
     the gate verdict joins back by doc_id (the dedup_lines pattern), the
     rates stay a broadcast row set, and the survivor corpus passes one
-    md5 hash gate."""
+    md5 hash gate.
+
+    The survivor id set is MATERIALIZED once (localCheckpoint): without
+    it, mixture_sample's two references to the survivor frame (rate
+    aggregate + final gate) re-run the whole gopher gram stage — the
+    single most expensive stage of the composition — twice. Only doc_id
+    longs materialize, distributed, at any corpus scale."""
     from healthcare_data_harmonization_dataflow_spark.operators.curation import (
         gopher_signals,
         mixture_sample,
     )
 
     docs = _docs(spark, sf_dir)
-    keep = gopher_signals(docs).where("gopher_keep").select("doc_id")
+    keep = (
+        gopher_signals(docs)
+        .where("gopher_keep")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     return mixture_sample(docs.join(keep, "doc_id"))
 
 

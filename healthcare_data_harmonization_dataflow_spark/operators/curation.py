@@ -26,7 +26,7 @@ operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared Java/RE2-compatible PII patterns (both dialects: no lookaround, no
@@ -621,10 +621,19 @@ def mixture_sample(
         "nd",
         F.expr("cast(floor(sqrt(cast(sz as double))) as bigint)").alias("w"),
     )
-    totals = w.agg(
-        F.sum("w").alias("tw"), F.sum("nd").alias("n")
-    )
-    rates = w.crossJoin(F.broadcast(totals)).select(
+    # grand totals via a global window over the per-source frame (one row
+    # per source — tiny at any corpus scale): a separate w.agg() subtree
+    # would RE-DERIVE the per-source aggregate from the corpus scan,
+    # tripling the documents scans in composed pipelines (plan_audit
+    # enforces the 2-scan ceiling on corpus_curate_v3)
+    wt = Window.partitionBy()
+    rates = w.select(
+        "source",
+        "nd",
+        "w",
+        F.sum("w").over(wt).alias("tw"),
+        F.sum("nd").over(wt).alias("n"),
+    ).select(
         "source",
         F.expr(
             f"cast(floor(least(1E0, "

@@ -27,6 +27,13 @@ from healthcare_data_harmonization_dataflow_spark.session import build_session  
 # per-row): custom decode hooks and the pandas-grouped assembly variant.
 PYTHON_ALLOWED = {"multimodal_features", "bundle_assembly_grouped"}
 
+# Hard ceilings on FileScan count for compositions that are REQUIRED to
+# reuse a materialized intermediate instead of re-deriving it per branch.
+# corpus_curate_v3 checkpoints the gopher survivor ids, so its main plan
+# must touch documents exactly twice (rate aggregate + final gate) — a
+# third scan means the gate verdict is being recomputed per reference.
+MAX_SCANS = {"corpus_curate_v3": 2}
+
 
 def audit(name: str, plan: str) -> dict:
     return {
@@ -63,6 +70,11 @@ def main() -> int:
         rows.append(row)
         if row["python"] and name not in PYTHON_ALLOWED:
             violations.append(f"{name}: Python eval leaked into a JVM-only path")
+        if name in MAX_SCANS and row["scans"] > MAX_SCANS[name]:
+            violations.append(
+                f"{name}: {row['scans']} scans > ceiling {MAX_SCANS[name]}"
+                " (a materialized intermediate is being re-derived)"
+            )
 
     w = max(len(r["query"]) for r in rows)
     print(f"{'query':<{w}}  py  exch  codegen  scans  pruned  bcast")
