@@ -1071,6 +1071,20 @@ def q_quality_gopher(spark, sf_dir):
     return gopher_signals(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Broadcast linear quality classifier (operators/curation.py): the
+    fasttext-style learned filter — hashed bag-of-words token weights
+    (64-bucket literal array lookup) plus shape features, one codegen
+    projection, one pruned scan, no shuffle. Keep decision thresholds the
+    integer LOGIT (monotone-equivalent to sigmoid >= 0.5), so the score
+    is bit-exact across engines with no transcendentals."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1356,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate_v2": q_corpus_curate_v2,
         "tablerow_json": q_tablerow_json,
         "quality_gopher": q_quality_gopher,
+        "quality_classifier": q_quality_classifier,
         "mixture_sample": q_mixture_sample,
         "corpus_curate_v3": q_corpus_curate_v3,
     }
@@ -1955,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, concat('{"Event":', props, '}') AS row_json FROM events
         """,
         "quality_gopher": _curation.gopher_oracle_sql(),
+        "quality_classifier": _curation.quality_classifier_oracle_sql(),
         "mixture_sample": _curation.mixture_sample_oracle_sql(),
         "corpus_curate_v3": _corpus_curate_v3_oracle(),
     }

@@ -693,3 +693,127 @@ def mixture_sample_oracle_sql(
     WHERE CAST(concat('0x', substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 13)) AS BIGINT) % 1000000
           < r.keep_ppm
     """
+
+
+# ------------------------------------------------- quality classifier
+# Broadcast linear quality classifier — the fasttext-style learned filter
+# every large corpus pipeline runs after the rule gates (CCNet / GPT-3's
+# WebText-similarity LR, Falcon's quality LR). The MODEL is a literal:
+# per-bucket token weights (hashed bag-of-words, the fasttext trick) plus
+# shape-feature weights, shipped inside the codegen expression — no join,
+# no shuffle, no Python; one pruned scan per corpus pass at any scale.
+#
+# Cross-engine exactness: the score is the LOGIT in integer micro-units
+# (1e-6). sigmoid is monotone, so `keep = sigmoid(logit) >= 0.5` is
+# EXACTLY `logit >= 0` — thresholding never needs exp(), whose last-ulp
+# behavior is libm-specific. All arithmetic is integer multiply-add; the
+# one division (mean token weight) runs over a NONNEGATIVE-shifted sum so
+# floor == truncate in both engines.
+
+QC_N_BUCKETS = 64
+QC_TOKEN_SHIFT = 50_000  # token weights live in [-50000, 50000] micro
+
+
+def _qc_default_bucket_weights() -> list[int]:
+    """Deterministic stand-in for trained weights: md5 of the bucket index
+    mapped into [-50000, 50000]. Computed driver-side with hashlib and
+    spliced into BOTH engines' expressions as literals, so the 'model' is
+    engine-independent by construction. A real deployment passes trained
+    weights; the plumbing (literal map, hashed lookup) is identical."""
+    import hashlib
+
+    out = []
+    for b in range(QC_N_BUCKETS):
+        h = int(hashlib.md5(f"qcw-{b}".encode()).hexdigest()[:8], 16)
+        out.append(h % (2 * QC_TOKEN_SHIFT + 1) - QC_TOKEN_SHIFT)
+    return out
+
+
+QC_DEFAULT_SHAPE_WEIGHTS = {
+    # micro-units contributed per unit of the (ppm / capped-count) feature.
+    # bias calibrated on the synthetic corpus so the default model splits
+    # it (~60% keep) instead of degenerating to all-keep/all-reject
+    "bias": -120_000,
+    "stopword_ratio_ppm": 2,  # 15% stopwords -> +300000 micro
+    "punct_ratio_ppm": -4,  # punctuation walls push toward reject
+    "n_words_capped": 300,  # length prior, capped at 1000 words
+}
+QC_WORDS_CAP = 1000
+
+
+def quality_classifier(
+    docs: DataFrame,
+    bucket_weights: "list[int] | None" = None,
+    shape_weights: "dict[str, int] | None" = None,
+    threshold_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with a linear quality model and flag keeps.
+
+    Features, all integer and all inside one codegen projection:
+    hashed-bag-of-words mean token weight (md5 -> bucket -> literal-array
+    lookup), stopword ratio (ppm), punctuation ratio (ppm), capped word
+    count. Returns (id_col, logit_micro, qc_keep) where qc_keep is
+    `logit_micro >= threshold_micro` — identical to sigmoid-thresholding
+    at sigmoid(threshold_micro/1e6).
+    """
+    bw = bucket_weights if bucket_weights is not None else _qc_default_bucket_weights()
+    if len(bw) != QC_N_BUCKETS:
+        raise ValueError(f"bucket_weights must have {QC_N_BUCKETS} entries")
+    sw = dict(QC_DEFAULT_SHAPE_WEIGHTS)
+    if shape_weights:
+        sw.update(shape_weights)
+    ws = _WS_SPARK_T.format(col=text_col)
+    arr = "array(" + ", ".join(f"{w + QC_TOKEN_SHIFT}L" for w in bw) + ")"
+    bucket = f"cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {QC_N_BUCKETS}"
+    tok_sum = f"aggregate({ws}, 0L, (acc, w) -> acc + element_at({arr}, cast({bucket} as int) + 1))"
+    n_words = f"size({ws})"
+    n_stop = f"size(filter({ws}, w -> {_stop_pred('w')}))"
+    n_punct = f"length(regexp_replace(coalesce({text_col}, ''), '[^.,;:!?]', ''))"
+    n_chars = f"length(coalesce({text_col}, ''))"
+    logit = (
+        f"{sw['bias']}L"
+        f" + (({tok_sum}) div greatest({n_words}, 1) - {QC_TOKEN_SHIFT})"
+        f" + {sw['stopword_ratio_ppm']}L * cast(floor({n_stop} * 1000000.0 / greatest({n_words}, 1)) as bigint)"
+        f" + {sw['punct_ratio_ppm']}L * cast(floor({n_punct} * 1000000.0 / greatest({n_chars}, 1)) as bigint)"
+        f" + {sw['n_words_capped']}L * least(cast({n_words} as bigint), {QC_WORDS_CAP})"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(logit).cast("long").alias("logit_micro"),
+        (F.expr(logit) >= F.lit(threshold_micro)).alias("qc_keep"),
+    )
+
+
+def quality_classifier_oracle_sql(
+    threshold_micro: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB SQL reproducing quality_classifier bit-for-bit: same literal
+    weights, same md5 bucket hash, same nonnegative-shifted integer mean,
+    same integer multiply-add logit."""
+    bw = _qc_default_bucket_weights()
+    sw = QC_DEFAULT_SHAPE_WEIGHTS
+    arr = "[" + ", ".join(str(w + QC_TOKEN_SHIFT) for w in bw) + "]"
+    bucket = f"CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % {QC_N_BUCKETS}"
+    tok_sum = (
+        f"coalesce(list_sum(list_transform({_WS_DUCK}, "
+        f"w -> list_extract({arr}, CAST({bucket} AS INT) + 1))), 0)"
+    )
+    n_words = f"len({_WS_DUCK})"
+    n_stop = f"len(list_filter({_WS_DUCK}, w -> {_stop_pred('w')}))"
+    n_punct = "length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g'))"
+    n_chars = "length(coalesce(text, ''))"
+    logit = (
+        f"{sw['bias']}"
+        f" + (CAST(({tok_sum}) AS BIGINT) // greatest({n_words}, 1) - {QC_TOKEN_SHIFT})"
+        f" + {sw['stopword_ratio_ppm']} * CAST(floor({n_stop} * 1000000.0 / greatest({n_words}, 1)) AS BIGINT)"
+        f" + {sw['punct_ratio_ppm']} * CAST(floor({n_punct} * 1000000.0 / greatest({n_chars}, 1)) AS BIGINT)"
+        f" + {sw['n_words_capped']} * least(CAST({n_words} AS BIGINT), {QC_WORDS_CAP})"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({logit} AS BIGINT) AS logit_micro,
+           ({logit}) >= {threshold_micro} AS qc_keep
+    FROM {table}
+    """

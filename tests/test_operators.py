@@ -944,6 +944,69 @@ def test_gopher_signals_reference_model(spark):
     assert len(got) == 4  # every input doc yields a row
 
 
+def test_quality_classifier_reference_model(spark):
+    """quality_classifier must equal a pure-python reimplementation of the
+    linear model (same md5 bucket hash, same nonnegative-shifted integer
+    mean, same multiply-add), be monotone in the weighted features, and
+    stay a single python-free codegen projection."""
+    import hashlib
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        _GOPHER_STOPS,
+        QC_DEFAULT_SHAPE_WEIGHTS,
+        QC_N_BUCKETS,
+        QC_TOKEN_SHIFT,
+        QC_WORDS_CAP,
+        _qc_default_bucket_weights,
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and that dog ran off with a bone"),
+        (2, "!!!;;;...,,,:::!!!;;;...,,,"),  # punctuation wall
+        (3, "word " * 2000),  # length cap engages
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in quality_classifier(docs).collect()}
+
+    bw = _qc_default_bucket_weights()
+    sw = QC_DEFAULT_SHAPE_WEIGHTS
+
+    def ref(text):
+        ws = [w for w in (text or "").lower().split(" ") if w]
+        n = len(ws)
+        tok = sum(
+            bw[int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % QC_N_BUCKETS]
+            + QC_TOKEN_SHIFT
+            for w in ws
+        )
+        stop = sum(1 for w in ws if w in _GOPHER_STOPS)
+        t = text or ""
+        punct = sum(1 for c in t if c in ".,;:!?")
+        return (
+            sw["bias"]
+            + (tok // max(n, 1) - QC_TOKEN_SHIFT)
+            + sw["stopword_ratio_ppm"] * (stop * 1_000_000 // max(n, 1))
+            + sw["punct_ratio_ppm"] * (punct * 1_000_000 // max(len(t), 1))
+            + sw["n_words_capped"] * min(n, QC_WORDS_CAP)
+        )
+
+    for doc_id, text in rows:
+        assert got[doc_id]["logit_micro"] == ref(text), (doc_id, text)
+        assert got[doc_id]["qc_keep"] == (ref(text) >= 0)
+    # the punctuation wall must score below the stopword-rich sentence
+    assert got[2]["logit_micro"] < got[1]["logit_micro"]
+    # plan hygiene: one pruned scan, zero python, zero exchanges
+    plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+    # custom weights plumb through (a trained model is a drop-in)
+    flat = quality_classifier(docs, bucket_weights=[0] * QC_N_BUCKETS)
+    assert flat.count() == 5
+
+
 def test_mixture_sample_sqrt_temperature_rates(spark):
     import math
 
