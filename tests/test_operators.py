@@ -944,6 +944,25 @@ def test_gopher_signals_reference_model(spark):
     assert len(got) == 4  # every input doc yields a row
 
 
+def test_bundle_assembly_grouped_byte_equal_to_default(spark, sf_dir):
+    """assemble_bundles_grouped (the applyInPandas variant) must produce
+    byte-identical bundles to the pure-JVM assemble_bundles on real
+    transcripts — this equality is why bundle_assembly_grouped was
+    RETIRED from queries(): same semantics, one registry slot."""
+    from healthcare_data_harmonization_dataflow_spark.operators.bundles import (
+        assemble_bundles,
+        assemble_bundles_grouped,
+    )
+    import __spark_entry__ as entry
+
+    t = entry._transcripts(spark, sf_dir)
+    a = assemble_bundles(t)
+    b = assemble_bundles_grouped(t)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_quality_classifier_reference_model(spark):
     """quality_classifier must equal a pure-python reimplementation of the
     linear model (same md5 bucket hash, same nonnegative-shifted integer

@@ -1202,6 +1202,92 @@ def test_sink_scalar_json_marker_counts_as_uncommitted(spark, tmp_path):
     assert reader.read_committed(spark).count() == 10
 
 
+def test_assembly_auto_never_silently_picks_window(tmp_path):
+    """'auto' must resolve to state_v1 in EVERY trigger regime: the
+    pure-JVM window variant inherits Spark's lagged two-watermark
+    late-row filtering (late events checked against the PREVIOUS batch's
+    watermark), so a row arriving within one batch of the watermark
+    passing it is admitted — diverging from the reference's
+    allowedLateness=ZERO, which test_late_rows_dropped pins. Silent
+    selection would change output rows for the same input + watermark.
+    An explicit choice always wins (the backfill opt-in)."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.pipeline import (
+        HarmonizationPipeline,
+    )
+
+    def pipe(**kw):
+        return HarmonizationPipeline(
+            mapping_config=CFG, out_dir=str(tmp_path / "o"), **kw
+        )
+
+    assert pipe(trigger={"availableNow": True})._resolve_assembly() == "state_v1"
+    assert pipe(trigger={"once": True})._resolve_assembly() == "state_v1"
+    assert (
+        pipe(trigger={"processingTime": "5 seconds"})._resolve_assembly()
+        == "state_v1"
+    )
+    assert (
+        pipe(trigger={"availableNow": True}, assembly="window")
+        ._resolve_assembly()
+        == "window"
+    )
+
+
+def test_window_assembly_admits_boundary_late_row_documented(spark, tmp_path):
+    """Pin the DOCUMENTED divergence that keeps 'window' an explicit
+    opt-in: under the built-in session_window agg, a row behind the
+    current watermark but ahead of the PREVIOUS batch's watermark is
+    admitted and merged (Spark's two-watermark rule for built-in
+    stateful operators), where state_v1 drops it (allowedLateness=ZERO).
+    If a Spark upgrade ever makes the built-in agg strict, this test
+    fails and the auto selector can be revisited."""
+    import time as _t
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "in")
+    os.makedirs(inp)
+    t0 = _t.time()
+    early = [
+        ("A", i, "user", '{"bar":%d}' % i, None, f"2024-01-01 00:00:{i:02d}")
+        for i in range(3)
+    ]
+    _append_one_file(_turns_df(spark, early), inp, t0)
+    _append_one_file(
+        _turns_df(
+            spark, [("conv-sentinel", 0, "user", "{}", None, "2024-01-02 00:00:00")]
+        ),
+        inp,
+        t0 + 100,
+    )
+    _append_one_file(
+        _turns_df(spark, [("A", 9, "user", '{"bar":9}', None, "2024-01-01 00:00:05")]),
+        inp,
+        t0 + 200,
+    )
+    _append_one_file(
+        _turns_df(
+            spark, [("conv-sentinel", 1, "user", "{}", None, "2024-01-03 00:00:00")]
+        ),
+        inp,
+        t0 + 300,
+    )
+    pipe = HarmonizationPipeline(
+        mapping_config=CFG,
+        out_dir=os.path.join(tmp, "out"),
+        session_gap="2 minutes",
+        watermark_delay="1 minutes",
+        trigger={"availableNow": True},
+        max_files_per_trigger=1,
+        assembly="window",
+    )
+    q = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ckpt_h"))
+    q.awaitTermination(300)
+    bundles = pipe.bundles(spark).filter(F.col("conv_id") == "A").collect()
+    assert len(bundles) == 1
+    idxs = [t["turn_idx"] for t in json.loads(bundles[0]["bundle"])]
+    assert idxs == [0, 1, 2, 9]  # the boundary-late row IS admitted here
+
+
 def test_sink_transient_read_failure_raises_for_readers(spark, tmp_path):
     """A transient FS read failure on a marker that EXISTS must not make
     the committed batch silently vanish from reader-facing output
