@@ -93,3 +93,61 @@ def ndjson_parse_messages(df: DataFrame, line_col: str = "value") -> DataFrame:
             F.concat(F.lit("invalid message: "), F.coalesce(F.col(line_col), F.lit("<null>"))),
         ),
     )
+
+
+def export_and_read(
+    spark,
+    export_path: str,
+    schedule_fn,
+    poll_fn,
+    poll_interval_s: float = 0.5,
+    cleanup: bool = True,
+    cleanup_fn=None,
+    line_col: str = "value",
+):
+    """The FULL HL7v2IO.Export lifecycle (HL7v2IO.java:495-678):
+    schedule the export operation -> poll the long-running operation every
+    ``poll_interval_s`` (the reference's 500 ms, HL7v2IO.java:670) -> read
+    the exported NDJSON with the valid/invalid split (ParseMessageFn) ->
+    delete the temp files (RemoveTempFiles). Returns
+    ``(messages_df, errors_df)``.
+
+    The service calls are INJECTED (mirroring streaming/ingest.py's
+    injectable ingest_fn): ``schedule_fn(export_path) -> operation dict``
+    and ``poll_fn(operation) -> operation`` speak the LRO protocol —
+    ``{"name": ..., "done": bool, "error": ...}``. An operation that
+    completes with ``error`` raises, matching ExportMessagesFn
+    (HL7v2IO.java:668-673).
+
+    The reference's ``Wait.on(messages, errors)`` barrier before cleanup
+    becomes MATERIALIZATION here: when ``cleanup`` is requested, both
+    branches are pinned with ``localCheckpoint(eager=True)`` before the
+    temp files are removed — a lazy plan over deleted files would
+    otherwise fail at first use. Callers that keep the files pass
+    ``cleanup=False`` and get fully lazy (pushdown-friendly) plans.
+    """
+    import shutil
+    import time as _time
+
+    op = schedule_fn(export_path)
+    while not op.get("done"):
+        _time.sleep(poll_interval_s)
+        op = poll_fn(op)
+    if op.get("error") is not None:
+        raise RuntimeError(
+            f"Export operation ({op.get('name')}) failed: {op['error']}"
+        )
+    lines = spark.read.text(export_path)
+    if line_col != "value":
+        lines = lines.withColumnRenamed("value", line_col)
+    parsed = ndjson_parse_messages(lines, line_col)
+    messages = parsed.filter(F.col("err").isNull()).drop("err")
+    errors = parsed.filter(F.col("err").isNotNull()).select(line_col, "err")
+    if cleanup:
+        messages = messages.localCheckpoint(eager=True)  # the Wait.on barrier
+        errors = errors.localCheckpoint(eager=True)
+        if cleanup_fn is not None:
+            cleanup_fn(export_path)
+        else:
+            shutil.rmtree(export_path, ignore_errors=True)
+    return messages, errors

@@ -73,3 +73,61 @@ def test_ndjson_parse_split(spark):
     valid = [r for r in rows if r["err"] is None]
     invalid = [r for r in rows if r["err"] is not None]
     assert len(valid) == 1 and len(invalid) == 2  # invalid/valid counters' split
+
+
+def test_export_and_read_full_lifecycle(spark, tmp_path):
+    """HL7v2IO.Export lifecycle parity (HL7v2IO.java:495-678): schedule ->
+    500ms-style poll loop -> NDJSON read with valid/invalid split ->
+    temp-file cleanup AFTER both branches are pinned (the Wait.on
+    analogue). Service calls are injected; a failed operation raises."""
+    import os
+
+    import pytest
+
+    from healthcare_data_harmonization_dataflow_spark.functions.reformat import (
+        export_and_read,
+    )
+
+    exp = str(tmp_path / "export")
+    polls = []
+
+    def schedule(path):
+        # the "service" lands NDJSON files at the export prefix
+        os.makedirs(path)
+        with open(os.path.join(path, "shard-0.ndjson"), "w") as f:
+            f.write('{"msg":"a"}\n{"msg":"b"}\nnot json\n')
+        with open(os.path.join(path, "shard-1.ndjson"), "w") as f:
+            f.write('{"msg":"c"}\n')
+        return {"name": "op-1", "done": False}
+
+    def poll(op):
+        polls.append(op["name"])
+        return {**op, "done": len(polls) >= 2}  # completes on 2nd poll
+
+    messages, errors = export_and_read(
+        spark, exp, schedule, poll, poll_interval_s=0.01
+    )
+    assert polls == ["op-1", "op-1"]  # polled until done
+    assert messages.count() == 3
+    assert errors.count() == 1
+    assert errors.first()["err"].startswith("invalid message: ")
+    # cleanup ran, and the returned frames SURVIVE it (Wait.on barrier)
+    assert not os.path.exists(exp)
+    assert messages.count() == 3
+
+    # a completed-with-error operation raises, like ExportMessagesFn
+    def schedule_bad(path):
+        return {"name": "op-2", "done": True, "error": "boom"}
+
+    with pytest.raises(RuntimeError, match="op-2.*boom"):
+        export_and_read(spark, exp, schedule_bad, poll)
+
+    # cleanup=False keeps the files and the lazy plan
+    exp2 = str(tmp_path / "export2")
+    m2, e2 = export_and_read(
+        spark, exp2,
+        lambda p: (schedule(p), {"name": "op-3", "done": True})[1],
+        poll, cleanup=False,
+    )
+    assert os.path.exists(exp2)
+    assert m2.count() == 3 and e2.count() == 1

@@ -127,6 +127,68 @@ def pipe_schema():
     return BUNDLE_SCHEMA
 
 
+@pytest.mark.parametrize("commit_mode", ["rename", "put"])
+def test_streaming_exactly_once_replay_commit_modes(spark, tmp_path, commit_mode):
+    """The FULL streaming replay contract under BOTH marker strategies —
+    and for put-mode, against a simulated object store whose rename is
+    UNAVAILABLE (write_text_atomic raises): the run can only succeed if
+    the commit path genuinely never renames. Restart from the same
+    checkpoint and a replayed epoch must both be no-ops either way."""
+    from healthcare_data_harmonization_dataflow_spark.streaming.sink import (
+        _LocalFs,
+    )
+
+    tmp = str(tmp_path)
+    inp = os.path.join(tmp, "transcripts")
+    _write_input(spark, inp, total_turns=200)
+
+    class _NoRenameFs(_LocalFs):
+        """Object-store facade: single-object PUTs only; the atomic-rename
+        commit primitive does not exist."""
+
+        def write_text_atomic(self, path, text):
+            raise IOError("rename is not available on this store")
+
+    def build():
+        pipe = HarmonizationPipeline(
+            mapping_config=CFG,
+            out_dir=os.path.join(tmp, "out"),
+            session_gap="2 minutes",
+            watermark_delay="36 hours",
+            trigger={"availableNow": True},
+            max_files_per_trigger=4,
+            commit_mode=commit_mode,
+        )
+        if commit_mode == "put":
+            pipe.bundles_sink._fs_cache = _NoRenameFs()
+            pipe.deadletter_sink._fs_cache = _NoRenameFs()
+        return pipe
+
+    pipe = build()
+    q1 = pipe.run_harmonization(spark, inp, os.path.join(tmp, "ckpt_h"))
+    q2 = pipe.run_deadletter(spark, inp, os.path.join(tmp, "ckpt_d"))
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    first = pipe.bundles(spark).count()
+    first_batches = pipe.bundles_sink.committed_batches()
+    assert first > 0
+
+    # restart from the SAME checkpoint: no new data -> no new commits
+    pipe2 = build()
+    rq1 = pipe2.run_harmonization(spark, inp, os.path.join(tmp, "ckpt_h"))
+    rq2 = pipe2.run_deadletter(spark, inp, os.path.join(tmp, "ckpt_d"))
+    rq1.awaitTermination(300)
+    rq2.awaitTermination(300)
+    assert pipe2.bundles(spark).count() == first
+    assert pipe2.bundles_sink.committed_batches() == first_batches
+
+    # replayed epoch (crash after write, before progress): no-op
+    sink = pipe2.bundles_sink
+    dummy = spark.createDataFrame([("x", 1, "b", None, None)], pipe_schema())
+    sink.write_batch(dummy, first_batches[-1])
+    assert pipe2.bundles(spark).count() == first
+
+
 def test_tws_assembly_matches_v1(spark, tmp_path):
     """transformWithState assembly (ListState, O(new) appends) must produce
     byte-identical bundles to the applyInPandasWithState reference path,
