@@ -25,6 +25,7 @@ config must fail before the pipeline starts).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -1664,6 +1665,19 @@ def _render(jv) -> Column:
     return jv  # variant Column
 
 
+# Spark's string->double cast (probed on Spark 4.1): UTF8String.trimAll
+# strips ASCII control chars <= 0x20 at BOTH ends (not just whitespace),
+# then Java Double.parseDouble applies — which tolerates ONE trailing
+# d/D/f/F suffix and accepts ASCII digit forms only. Python float()
+# differs on all three (rejects \x19 padding and the d/f suffix, but
+# accepts unicode digits/whitespace Spark rejects), so the mirror trims
+# and validates explicitly before delegating to float().
+_SPARK_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+_SPARK_DOUBLE_RE = re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", re.ASCII
+)
+
+
 def _num_coerce(v):
     """Python mirror of _num_form's VARIANT double-cast semantics."""
     import math
@@ -1675,10 +1689,15 @@ def _num_coerce(v):
     if isinstance(v, (int, float)):
         f = float(v)
     else:
-        if "_" in v:  # float() tolerates 1_0; SQL's cast does not
+        s = v.strip(_SPARK_TRIM_CHARS)
+        if len(s) > 1 and s[-1] in "dDfF":
+            s = s[:-1]
+        if not _SPARK_DOUBLE_RE.match(s):
+            # Infinity/NaN literals also land here — Spark parses them but
+            # _num_form nulls non-finite values, so _MISSING agrees.
             return _MISSING
         try:
-            f = float(v)
+            f = float(s)
         except ValueError:
             return _MISSING
     return f if math.isfinite(f) else _MISSING

@@ -983,6 +983,39 @@ def test_numeric_envelope_bounds(spark, backend):
     assert ok == '{"O":[{"negz":0}]}'
 
 
+def test_numeric_string_coercion_spark_cast_parity(spark):
+    """String->double coercion edges where Spark's cast and Python float()
+    disagree (probed on Spark 4.1; hypothesis found the first one live):
+    Spark trims ASCII control chars <= 0x20 at BOTH ends and tolerates a
+    trailing d/D/f/F suffix, but rejects unicode digits/whitespace that
+    float() accepts. The pandas mirror (_num_coerce) must match the
+    columns backend byte-for-byte on every case."""
+    import json
+
+    cfg = "out O: P(root);\ndef P(i) { v: $Sum(i.s, 0); }"
+    cases = [
+        "8\x19", "\x198", "8\x00", "\x1f8\x01",          # control-char trim
+        "8d", "1.5F", "5.d", "d", "8.5e",                # suffix forms
+        "١٢", "５", "5　", " 5",                # unicode digit/ws
+        "1_0", "0x10", "8 9", "--5", "", " ",            # rejects
+        "+.5e-2", ".5", "5.", "1E3", " 8 ",              # accepts
+        "Infinity", "NaN", "inf",                         # non-finite -> nil
+    ]
+    df = spark.createDataFrame(
+        [(str(i), json.dumps({"s": s})) for i, s in enumerate(cases)],
+        "id string, data string",
+    )
+    got = {}
+    for backend in ("columns", "pandas"):
+        res = ok_rows(apply_mapping(df, cfg, backend=backend, clock=CLOCK))
+        got[backend] = {r["id"]: r["ok"] for r in res.collect()}
+    assert got["columns"] == got["pandas"]
+    # spot-pin the trim + suffix semantics themselves, not just agreement
+    assert got["columns"]["0"] == '{"O":[{"v":8}]}'       # "8\x19" -> 8
+    assert got["columns"]["4"] == '{"O":[{"v":8}]}'       # "8d" -> 8
+    assert '"v"' not in got["columns"]["9"]                # "١٢" -> nil
+
+
 WILD_CFG = """
 out Output: P(root);
 def P(i) {

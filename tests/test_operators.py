@@ -470,9 +470,13 @@ def test_connected_components_without_universe(spark):
 def test_lsh_cluster_edges_same_components_as_full_pairs(spark, sf_dir):
     """minhash_lsh_cluster_edges is a spanning subgraph of the LSH pair
     graph: connected_components over it must label every doc identically
-    to CC over the full clique pair set (the dedup_clusters contract —
-    the oracle closes over the FULL pairs), at O(groups×bands) edges
-    instead of O(Σ bucket²)."""
+    to CC over the full clique pair set (the dedup_clusters contract).
+    The DuckDB oracle mirrors the star construction independently
+    (minhash_lsh_cluster_edges_oracle_sql) because a recursive-CTE
+    closure over the full clique pairs is intractable on template-heavy
+    corpora; this test pins the engine-side equivalence theorem the
+    star form relies on, at O(groups×bands) edges instead of
+    O(Σ bucket²)."""
     from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
         minhash_lsh_cluster_edges,
         minhash_lsh_pairs,
@@ -494,6 +498,30 @@ def test_lsh_cluster_edges_same_components_as_full_pairs(spark, sf_dir):
     assert star_edges.filter("doc1 >= doc2").count() == 0
     # and it is genuinely star-reduced, never more edges than pairs
     assert n <= minhash_lsh_pairs(docs).count()
+
+
+def test_lsh_cluster_edges_oracle_matches_engine(spark, sf_dir):
+    """The DuckDB star-edge oracle (minhash_lsh_cluster_edges_oracle_sql)
+    must produce exactly the engine's edge set — same signature groups,
+    same band hubs, same member edges — so the dedup_clusters oracle
+    closure runs over an identical graph."""
+    import duckdb
+
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        minhash_lsh_cluster_edges,
+        minhash_lsh_cluster_edges_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    engine = sorted(
+        (r["doc1"], r["doc2"]) for r in minhash_lsh_cluster_edges(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = sorted(map(tuple, con.sql(minhash_lsh_cluster_edges_oracle_sql()).fetchall()))
+    assert engine == oracle and len(engine) > 0
 
 
 def test_edges_unique_fast_path_matches_default(spark):

@@ -78,6 +78,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Parity-by-construction oracles (ivf_oracle_centroids) re-derive their
+    # literals from the gated SF's data — pin the env BEFORE oracle_sql()
+    # is evaluated, or a non-default sf_dir trains the oracle's centroids
+    # on sf0.01 while the Spark query trains on sf_dir (observed as a
+    # values-differ FAIL on ann_ivf_topk at sf0.1).
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
