@@ -744,6 +744,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: trained-k-means clusters, then drop
+    every vector with a smaller-id cosine-near-duplicate in its cluster.
+    Survivors as (vec_id, cell). Parity-by-construction centroids, same
+    as ann_ivf_topk (similarity.py: semantic_dedup). Threshold 400k ppm:
+    the synthetic embeddings are near-random (intra-cell cosines top out
+    ~470k), so the production default 950k would drop nothing here —
+    same reduction as the 300k dedup_embedding_cosine query."""
+    return S.semantic_dedup(_emb(spark, sf_dir), threshold_ppm=400_000)
+
+
 # EP2 (DICOM->FHIR) runner flow as a batch query: webpath extract ->
 # metadata fetch (join) -> CreateMappingFnInput -> MappingFn ->
 # CreateFhirResourceBundle; every doc_id % 10 == 0 study is missing from
@@ -1326,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_correctness.py runs ALL entries regardless of order).
     return {
         # --- never driver-sampled before round 5: the LLM-curation suite ---
+        "dedup_semantic": q_dedup_semantic,
         "contamination_ngram": q_contamination_ngram,
         "stratified_sample": q_stratified_sample,
         "dedup_lines": q_dedup_lines,
@@ -1758,6 +1770,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             k=5,
             n_queries=10,
+        ),
+        "dedup_semantic": S.semantic_dedup_oracle_sql(
+            S.ivf_oracle_centroids(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+                + "/embeddings.parquet"
+            ),
+            threshold_ppm=400_000,
         ),
         "dicom_harmonize": f"""
             SELECT concat('{_DICOM_PREFIX}', doc_id) AS webpath,

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "pack_sequences",
     "corpus_curate_v2",
+    "dedup_semantic",
     "quality_classifier",
     "quality_gopher",
     "mixture_sample",

@@ -748,3 +748,147 @@ def ivf_topk_oracle_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- semantic dedup
+SEMDEDUP_THRESHOLD_PPM = 950_000
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold_ppm: int = SEMDEDUP_THRESHOLD_PPM,
+    id_col: str = "vec_id",
+    n_centroids: int | None = None,
+    dim: int = LSH_DIM,
+    train_sample: int = IVF_TRAIN_SAMPLE,
+    train_iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus with the TRAINED integer k-means (the IVF training
+    pass), then within each cluster drop every vector that has a
+    smaller-id near-duplicate (exact quantized cosine >= ``threshold_ppm``
+    ppm) in the SAME cluster. Returns the survivors as (id, cell).
+
+    The keep rule is the deterministic greedy: a vector is dropped iff ANY
+    smaller-id vector in its cell reaches the threshold — one
+    representative (the lowest id) survives per near-duplicate
+    neighborhood, independent of partitioning and engine.
+
+    Scale shape (the reason this beats all-pairs cosine at 100 TB): the
+    only vector movement is one broadcast of K centroid rows; assignment
+    is K exact int64 distances per row inside codegen; the pair self-join
+    is PER CELL, and K ~ sqrt(N) keeps expected cell size ~ sqrt(N), so
+    pair work is ~N^1.5/2 instead of N^2/2 — and unlike banded LSH
+    blocking, a vector lands in exactly ONE cell, so no distinct over
+    multi-band collisions is needed. Skewed cells (a dense semantic mode)
+    are the residual risk: raise ``n_centroids`` (more, smaller cells) —
+    the same knob a production SemDeDup run tunes.
+
+    Cross-engine exactness: identical centroid literals feed both engines
+    (parity-by-construction, like ivf_topk), and the cosine is the same
+    int64-quantized / single-sqrt formula as embedding_cosine_pairs —
+    bit-identical on any IEEE-754 engine. The dim <= 2048 overflow guard
+    applies for the same reason.
+    """
+    if dim > 2048:
+        raise ValueError(
+            f"semantic_dedup: dim={dim} exceeds 2048 — the int64 norm "
+            "product would overflow (Spark wraps silently; the oracle "
+            "errors); reduce QUANT or split the dimensions"
+        )
+    spark = embeddings.sparkSession
+    if n_centroids is None:
+        n_centroids = scaled_centroid_count(embeddings.count())
+    cents = _ivf_centroids(
+        embeddings, n_centroids, id_col, dim, train_sample, train_iters
+    )
+    cdf = F.broadcast(spark.createDataFrame([(cents,)], "_ivfc array<array<bigint>>"))
+    assign = (
+        f"transform(array({_qe_expr(dim)}), qe -> {_ivf_assign_expr(cents, 1)})[0][0]"
+    )
+    qn = "aggregate(transform(_qe, x -> x * x), 0L, (acc, v) -> acc + v)"
+    assigned = (
+        embeddings.crossJoin(cdf)
+        .select(
+            F.col(id_col),
+            F.expr(assign).cast("int").alias("cell"),
+            F.expr(_qe_expr(dim)).alias("_qe"),
+        )
+        .withColumn("qn", F.expr(qn))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id1"), "cell", F.col("_qe").alias("_qa"),
+        F.col("qn").alias("qn1"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id2"), "cell", F.col("_qe").alias("_qb"),
+        F.col("qn").alias("qn2"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("id1") < F.col("id2")) & (F.col("qn1") > 0) & (F.col("qn2") > 0)
+        )
+        .select(
+            "id2",
+            F.expr(_QDOT_QE).alias("qdot"),
+            (F.col("qn1") * F.col("qn2")).alias("nprod"),
+        )
+        .filter(
+            F.floor(
+                F.col("qdot") * 1000000.0 / F.sqrt(F.col("nprod").cast("double"))
+            )
+            >= threshold_ppm
+        )
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def semantic_dedup_oracle_sql(
+    centroids: list[list[int]],
+    threshold_ppm: int = SEMDEDUP_THRESHOLD_PPM,
+) -> str:
+    """DuckDB oracle reproducing semantic_dedup exactly: the trained
+    centroid literals arrive from ivf_oracle_centroids (the same training
+    the Spark plan ran), assignment is the same (distance, id) argmin,
+    the cosine the same quantized formula as the near-dup oracle."""
+    cent_rows = ", ".join(
+        f"({cid}, {list(qe)}::BIGINT[])" for cid, qe in enumerate(centroids)
+    )
+    return f"""
+    WITH qz AS (SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS qe
+                FROM embeddings),
+    cents AS (SELECT * FROM (VALUES {cent_rows}) AS t(cid, qe)),
+    dists AS (
+      SELECT v.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(v.qe, c.qe),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM qz v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    norms AS (
+      SELECT a.vec_id, a.cell, z.qe,
+             list_sum(list_transform(z.qe, x -> x * x)) AS qn
+      FROM assigned a JOIN qz z USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT nb.vec_id
+      FROM norms na JOIN norms nb
+        ON na.cell = nb.cell AND na.vec_id < nb.vec_id
+      WHERE na.qn > 0 AND nb.qn > 0
+        AND floor(list_sum(list_transform(list_zip(na.qe, nb.qe),
+                  p -> p[1] * p[2])) * 1000000.0
+                  / sqrt(CAST(na.qn * nb.qn AS DOUBLE))) >= {threshold_ppm}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+    FROM assigned a ANTI JOIN dropped d ON a.vec_id = d.vec_id
+    """

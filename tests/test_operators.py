@@ -217,6 +217,82 @@ def test_embedding_cosine_pairs_symmetric_exact(spark, sf_dir):
     assert got == expect
 
 
+def test_semantic_dedup_keep_rule_exact(spark, sf_dir):
+    """semantic_dedup's contract, re-derived independently in Python: a
+    vector is dropped iff SOME smaller-id vector in its trained-k-means
+    cell reaches the cosine threshold; survivors keep their cell id. The
+    whole pipeline (training sample, Lloyd's, argmin assignment, quantized
+    cosine) is re-run from the raw parquet, not from engine internals."""
+    import math
+
+    from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 430k ppm: the sf0.001 synthetic embeddings are near-random (top
+    # intra-cell cosine ~470k), so this threshold exercises BOTH branches
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.semantic_dedup(emb, threshold_ppm=430_000).collect()
+    }
+
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    byid = {
+        r["vec_id"]: [math.floor(x * S.QUANT) for x in r["embedding"]] for r in rows
+    }
+    k = S.scaled_centroid_count(len(rows))
+    n_sample = max(S.IVF_TRAIN_SAMPLE, 8 * k)
+    cents = S.train_centroids(
+        [byid[r["vec_id"]] for r in rows[:n_sample]], k
+    )
+    def cell_of(q):
+        d = [
+            (sum((x - c) * (x - c) for x, c in zip(q, cw)), i)
+            for i, cw in enumerate(cents)
+        ]
+        return min(d)[1]
+
+    cells = {i: cell_of(q) for i, q in byid.items()}
+    dropped = set()
+    ids = sorted(byid)
+    for j, b in enumerate(ids):
+        qb = byid[b]
+        nb = sum(x * x for x in qb)
+        if nb == 0:
+            continue
+        for a in ids[:j]:
+            if cells[a] != cells[b]:
+                continue
+            qa = byid[a]
+            na = sum(x * x for x in qa)
+            if na == 0:
+                continue
+            dot = sum(x * y for x, y in zip(qa, qb))
+            if math.floor(dot * 1000000.0 / math.sqrt(na * nb)) >= 430_000:
+                dropped.add(b)
+                break
+    expect = {i: cells[i] for i in ids if i not in dropped}
+    assert got == expect
+    assert 0 < len(got) < len(ids)  # something survived AND something dropped
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted structure: an exact duplicate and a scaled copy (cosine 1)
+    of vector 0 are dropped; a near-orthogonal vector survives. Lowest id
+    in each near-dup neighborhood is the survivor."""
+    from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
+
+    dim = S.LSH_DIM
+    base = [1.0] * dim
+    scaled = [0.5] * dim  # cosine(base, scaled) = 1.0
+    ortho = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    df = spark.createDataFrame(
+        [(0, base), (1, scaled), (2, base), (3, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {r["vec_id"] for r in S.semantic_dedup(df, n_centroids=1).collect()}
+    assert kept == {0, 3}
+
+
 def test_iceberg_integration_gates_cleanly(spark):
     """No Iceberg runtime in this environment: availability reports False,
     the reader raises an actionable error, and the catalog conf carries the

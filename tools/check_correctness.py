@@ -95,6 +95,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: list[dict] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -106,10 +107,12 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
+            results.append({"query": name, "status": "FAIL", "problems": [str(e)]})
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            results.append({"query": name, "status": "ROWS-ONLY", "rows": len(srows)})
             continue
         try:
             rel = con.sql(sql)
@@ -120,6 +123,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            results.append({"query": name, "status": "FAIL", "problems": [str(e)]})
             continue
         problems = []
         if scols != dcols:
@@ -144,10 +148,34 @@ def main():
         if problems:
             print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(problems))
             n_fail += 1
+            results.append({"query": name, "status": "FAIL", "problems": problems})
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+            results.append(
+                {
+                    "query": name,
+                    "status": "PASS",
+                    "rows": len(srows),
+                    "secs": round(time.time() - t0, 1),
+                }
+            )
     print(f"\n{n_pass} passed, {n_fail} failed")
+    json_path = os.environ.get("CORRECTNESS_JSON")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
