@@ -1103,6 +1103,45 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier(_docs(spark, sf_dir))
 
 
+# Deterministic source remap for the source_cap registry query: splitting
+# every source into a ~1/4 and a ~3/4 shard makes cap=15 exercise BOTH the
+# under-cap bypass (no ranking) and the two-level over-cap top-K at sf0.01
+# (25 docs/source -> shards of ~6 and ~19).
+_SRC_REMAP_SPARK = (
+    "case when doc_id % 4 = 0 then source else concat(source, '_t') end"
+)
+_SRC_REMAP_DUCK = (
+    "CASE WHEN doc_id % 4 = 0 THEN source ELSE source || '_t' END"
+)
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/curation.py source_cap): the
+    RefinedWeb-style domain-cap pass. Deterministic hash-ordered survivor
+    choice; under-cap sources bypass ranking via a broadcast counts join,
+    over-cap sources rank through a salted two-level top-K so no source
+    ever lands on one partition at full size."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        source_cap,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("source", F.expr(_SRC_REMAP_SPARK))
+    return source_cap(docs, cap=15)
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (operators/curation.py budget_select):
+    keep the highest-quality docs whose cumulative tokens fit the budget —
+    whole integer-score buckets from the top, hash-ordered fill of the one
+    boundary bucket. Corpus never shuffles for the selection: buckets are
+    a tiny partial agg, the threshold is a one-row broadcast."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        budget_select,
+    )
+
+    return budget_select(_docs(spark, sf_dir), token_budget=12_000)
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1348,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "mixture_sample": q_mixture_sample,
         "corpus_curate_v3": q_corpus_curate_v3,
+        "source_cap": q_source_cap,
+        "budget_select": q_budget_select,
         # --- sampled in only one or two earlier rounds ---
         "contamination_flag": q_contamination_flag,
         "tablerow_json": q_tablerow_json,
@@ -2001,4 +2042,14 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _curation.quality_classifier_oracle_sql(),
         "mixture_sample": _curation.mixture_sample_oracle_sql(),
         "corpus_curate_v3": _corpus_curate_v3_oracle(),
+        "source_cap": _curation.source_cap_oracle_sql(
+            cap=15,
+            table=(
+                f"(SELECT * REPLACE ({_SRC_REMAP_DUCK} AS source) "
+                "FROM documents)"
+            ),
+        ),
+        "budget_select": _curation.budget_select_oracle_sql(
+            token_budget=12_000
+        ),
     }

@@ -817,3 +817,212 @@ def quality_classifier_oracle_sql(
            ({logit}) >= {threshold_micro} AS qc_keep
     FROM {table}
     """
+
+
+# --------------------------------------------------------- per-source caps
+def source_cap(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """RefinedWeb-style per-source document cap: keep at most ``cap``
+    documents from every source, chosen DETERMINISTICALLY (hash-ordered by
+    ``md5(id)`` with the id as tie-break), so a retry, a re-read, or another
+    engine selects the identical survivor set. This is the domain-cap pass
+    a web-corpus pipeline runs so a single crawl-heavy domain cannot
+    dominate the training mix.
+
+    Scale shape (100 TB honest):
+
+    * one tiny partial-agg shuffle computes per-source counts (#distinct
+      sources rows — domains, not documents);
+    * the counts broadcast back (NULL-safe equi-join), and every row of an
+      UNDER-cap source bypasses ranking entirely — no row-level shuffle for
+      the common case (most domains sit under any sane cap);
+    * only OVER-cap sources rank, and they rank in TWO levels (the classic
+      distributed top-K): level 1 takes the top ``cap`` within each of
+      ``n_salts`` hash buckets per source in parallel, level 2 re-ranks the
+      <= n_salts*cap survivors per source. A monster source therefore never
+      lands on one partition at full size — its level-1 work spreads over
+      ``n_salts`` partitions and level 2 sees at most ``n_salts * cap``
+      rows. Exact: every true global top-``cap`` member is trivially within
+      its own salt bucket's top ``cap``.
+
+    NULL sources group together (NULL-safe join + window semantics), same
+    as the SQL oracle's PARTITION BY.
+    """
+    order_cols = [
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    counts = (
+        docs.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    joined = docs.join(
+        F.broadcast(counts),
+        F.col(source_col).eqNullSafe(F.col("_src")),
+        "inner",
+    ).drop("_src")
+    under = joined.where(F.col("_n") <= cap).drop("_n")
+    over = joined.where(F.col("_n") > cap).drop("_n")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(*order_cols)
+    cand = (
+        over.withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order_cols)
+    capped = (
+        cand.drop("_salt")
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return under.unionByName(capped)
+
+
+def source_cap_oracle_sql(
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL reproducing source_cap exactly: the two-level top-K is
+    semantically one ranked window per source."""
+    return f"""
+    SELECT * EXCLUDE (_rk) FROM (
+      SELECT d.*, row_number() OVER (
+               PARTITION BY {source_col}
+               ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+             ) AS _rk
+      FROM {table} d
+    ) WHERE _rk <= {cap}
+    """
+
+
+# ---------------------------------------------------- token-budget selection
+def budget_select(
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the highest-quality documents that fit a training-token
+    budget: rank documents by an integer quality score (stopword-ratio ppm
+    — the same fixed-point signal as functions/text.quality_cols), keep
+    whole score buckets from the top down while their cumulative token
+    count fits ``token_budget``, then fill the remainder from the single
+    boundary bucket in deterministic ``(md5(id), id)`` order until the next
+    document would overflow. Every engine with md5 reproduces the exact
+    survivor set — no RNG, no float ordering.
+
+    Returns (id_col, lang, source, tok, score_ppm) for the selected docs.
+
+    Scale shape (100 TB honest):
+
+    * TWO pruned corpus scans (verified in the executed plan): the bucket
+      pass reads ONLY the text column, the selection pass reads the four
+      output columns; (tok, score_ppm) stay in codegen and the only
+      corpus-sized movement is the partial-agg shuffle of (score_ppm, tok)
+      pairs down to <= 1e6+1 integer buckets (in practice a few thousand);
+    * the cumulative-sum window runs over the BUCKET table (tiny, single
+      partition by design) and yields a ONE-ROW broadcast of
+      (boundary score, remaining tokens) — the corpus itself never
+      shuffles for the selection: full buckets keep/drop via a broadcast
+      comparison inside the scan;
+    * only the boundary bucket's rows (one score-tie class) flow through a
+      running-sum window; if a degenerate corpus put most mass on one exact
+      score, sub-bucketing that one class by md5 prefix is the documented
+      fallback (same two-level trick as source_cap).
+    """
+    ws = _WS_SPARK_T.format(col="text")
+    n_words = f"size({ws})"
+    n_stop = f"size(filter({ws}, w -> {_stop_pred('w')}))"
+    score = f"cast(floor({n_stop} * 1000000.0 / greatest({n_words}, 1)) as bigint)"
+    base = docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col("source"),
+        F.expr(f"cast({n_words} as bigint)").alias("tok"),
+        F.expr(score).alias("score_ppm"),
+    )
+    buckets = base.groupBy("score_ppm").agg(F.sum("tok").alias("_btok"))
+    w_cum = Window.orderBy(F.col("score_ppm").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.withColumn("_cum", F.sum("_btok").over(w_cum))
+    bound = (
+        cum.where(F.col("_cum") > token_budget)
+        .orderBy(F.col("score_ppm").desc())
+        .limit(1)
+        .select(
+            F.col("score_ppm").alias("_bscore"),
+            (F.lit(token_budget) - (F.col("_cum") - F.col("_btok"))).alias(
+                "_brem"
+            ),
+        )
+        # aggregate to EXACTLY one row so the cross join below never
+        # annihilates the corpus when the budget covers everything
+        .agg(F.min("_bscore").alias("_bscore"), F.min("_brem").alias("_brem"))
+    )
+    sel = base.crossJoin(F.broadcast(bound))
+    keep_full = sel.where(
+        F.col("_bscore").isNull() | (F.col("score_ppm") > F.col("_bscore"))
+    )
+    w_run = Window.partitionBy("score_ppm").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary = (
+        sel.where(F.col("score_ppm") == F.col("_bscore"))
+        .withColumn("_run", F.sum("tok").over(w_run))
+        .where(F.col("_run") <= F.col("_brem"))
+        .drop("_run")
+    )
+    return keep_full.unionByName(boundary).drop("_bscore", "_brem")
+
+
+def budget_select_oracle_sql(
+    token_budget: int, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB SQL reproducing budget_select exactly (same integer score,
+    same bucket cumulative sum, same hash-ordered boundary fill)."""
+    n_words = f"len({_WS_DUCK})"
+    n_stop = f"len(list_filter({_WS_DUCK}, w -> {_stop_pred('w')}))"
+    score = f"CAST(floor({n_stop} * 1000000.0 / greatest({n_words}, 1)) AS BIGINT)"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, lang, source,
+             CAST({n_words} AS BIGINT) AS tok,
+             {score} AS score_ppm
+      FROM {table}
+    ), buckets AS (
+      SELECT score_ppm, SUM(tok) AS _btok FROM base GROUP BY score_ppm
+    ), cum AS (
+      SELECT score_ppm, _btok,
+             SUM(_btok) OVER (ORDER BY score_ppm DESC
+                              ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM buckets
+    ), bound AS (
+      SELECT min(_bscore) AS _bscore, min(_brem) AS _brem FROM (
+        SELECT score_ppm AS _bscore,
+               {token_budget} - (_cum - _btok) AS _brem
+        FROM cum WHERE _cum > {token_budget}
+        ORDER BY score_ppm DESC LIMIT 1
+      )
+    )
+    SELECT {id_col}, lang, source, tok, score_ppm
+    FROM base, bound
+    WHERE _bscore IS NULL OR score_ppm > _bscore
+    UNION ALL
+    SELECT {id_col}, lang, source, tok, score_ppm FROM (
+      SELECT base.*, bound._brem,
+             SUM(tok) OVER (ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC,
+                            {id_col} ASC
+                            ROWS UNBOUNDED PRECEDING) AS _run
+      FROM base, bound WHERE base.score_ppm = bound._bscore
+    ) WHERE _run <= _brem
+    """

@@ -1246,3 +1246,110 @@ def test_null_text_oracle_parity_end_to_end(spark):
             key=repr,
         )
         assert spark_rows == duck_rows, name
+
+
+def test_source_cap_two_level_equals_single_window(spark):
+    """source_cap's salted two-level top-K must select the IDENTICAL
+    survivor set as the semantic definition (one ranked window per source),
+    under-cap sources must pass through uncapped, and NULL sources must
+    group together like SQL PARTITION BY."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        source_cap,
+    )
+
+    rows = []
+    # srcA: 9 docs (over cap=4), srcB: 3 docs (under), NULL source: 6 (over)
+    for i in range(9):
+        rows.append((i, f"text {i}", "srcA"))
+    for i in range(9, 12):
+        rows.append((i, f"text {i}", "srcB"))
+    for i in range(12, 18):
+        rows.append((i, f"text {i}", None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = source_cap(docs, cap=4, n_salts=3)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    want = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 4)
+        .drop("_rk")
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set
+    # under-cap source untouched
+    assert sum(1 for r in got_set if r[2] == "srcB") == 3
+    # over-cap sources (incl. the NULL group) capped exactly
+    assert sum(1 for r in got_set if r[2] == "srcA") == 4
+    assert sum(1 for r in got_set if r[2] is None) == 4
+
+
+def test_budget_select_greedy_reference_model(spark):
+    """budget_select must equal a pure-python greedy reference: whole score
+    buckets descending, boundary bucket filled in (md5(id), id) order while
+    the running token sum fits; and never exceed the budget."""
+    import hashlib
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        _GOPHER_STOPS,
+        budget_select,
+    )
+
+    texts = {
+        0: "the quick brown fox and the lazy dog",
+        1: "to be or not to be that is the question",
+        2: "alpha beta gamma delta",
+        3: "of mice and men with a plan",
+        4: "have you seen that thing",
+        5: "zzz yyy xxx www vvv uuu",
+        6: "the the the the",
+        7: "and of to be have with that the a",
+    }
+    rows = [(i, t, "en", "s0") for i, t in texts.items()]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def score(t):
+        ws = [w for w in t.lower().split(" ") if w]
+        ns = sum(1 for w in ws if w in _GOPHER_STOPS)
+        import math
+
+        return len(ws), math.floor(ns * 1_000_000.0 / max(len(ws), 1))
+
+    budget = 20
+    feats = {i: score(t) for i, t in texts.items()}
+    # python greedy reference
+    by_bucket = {}
+    for i, (tok, sc) in feats.items():
+        by_bucket.setdefault(sc, []).append(i)
+    kept, used = set(), 0
+    for sc in sorted(by_bucket, reverse=True):
+        btok = sum(feats[i][0] for i in by_bucket[sc])
+        if used + btok <= budget:
+            kept.update(by_bucket[sc])
+            used += btok
+            continue
+        rem = budget - used
+        run = 0
+        for i in sorted(
+            by_bucket[sc],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        ):
+            run += feats[i][0]
+            if run <= rem:
+                kept.add(i)
+        break
+
+    got = budget_select(docs, token_budget=budget)
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids == kept
+    assert sum(feats[i][0] for i in got_ids) <= budget
+    # budget >= total keeps everything (the one-row agg must not annihilate)
+    all_got = budget_select(docs, token_budget=10_000)
+    assert all_got.count() == len(texts)
