@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "quality_gopher",
     "mixture_sample",
     "corpus_curate_v3",
+    "source_cap",
+    "budget_select",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",
