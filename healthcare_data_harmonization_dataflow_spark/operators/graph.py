@@ -15,13 +15,23 @@ component. Rounds are plain shuffle joins, so Catalyst/AQE plan each one
 hot).
 
 Scale notes (100 TB):
-* Convergence is O(graph diameter) rounds. Near-dup graphs are unions of
-  near-cliques (LSH band joins emit all pairs in a bucket), so diameters
-  are tiny — single digits even at billions of docs. For adversarial
-  long-chain graphs the alternating large-star/small-star variant
-  (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
-  to O(log n) rounds; the loop below accepts that as a future swap
-  without API change.
+* Convergence is O(log diameter) EDGE rounds: after every non-final hook
+  round the labels are path-compressed with two pointer-doubling hops
+  (the Shiloach–Vishkin shortcut; same O(log n) round bound the
+  alternating large-star/small-star variant of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", achieves). This
+  matters on VERIFIED near-dup graphs, which are chains, not cliques
+  (A~B and B~C can both clear the Jaccard threshold while A~C misses):
+  the sf0.1 exact-ngram graph has diameter 7 and took 8 full-edge
+  rounds before compression, 5 after — and each compress hop joins only
+  the fixed-width (id, label) table with itself, never the edges.
+* The symmetrized edge set is hash-partitioned by the hook-join key
+  once, up front (AQE-coalescible — no hardcoded count), and every
+  round reuses that distribution: the union that builds it doubles the
+  child partition count, and per-task overhead on near-empty partitions
+  was two thirds of each round's cost at sf0.1; on a real cluster the
+  same move lets the sort-merge hook join skip re-shuffling 2|E| rows
+  per round once labels outgrow broadcast.
 * Only (id, label) pairs and (src, dst) edges ever shuffle — fixed-width
   longs, never payloads.
 * Each round ends with localCheckpoint(eager=True) to truncate lineage —
@@ -70,7 +80,15 @@ def connected_components(
         # distinct() shuffles once; every round then reuses this
         # materialized edge set
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # one more shuffle, co-locating by the hook-join key. Two payoffs that
+    # both survive the checkpoint: (a) the union doubles the child's
+    # partition count, and EVERY round scans the edge set — at sf0.1 the
+    # per-task overhead of 128 near-empty partitions was 2/3 of each
+    # round's cost; a keyed repartition (AQE-coalescible, no hardcoded
+    # count) right-sizes it once; (b) when labels outgrow broadcast on a
+    # real cluster the sort-merge hook join reuses this distribution
+    # instead of re-shuffling 2|E| rows per round.
+    sym = sym.repartition(F.col("d")).localCheckpoint(eager=True)
 
     if nodes is not None:
         universe = nodes.select(F.col(id_col).cast("long").alias("s")).distinct()
@@ -102,6 +120,26 @@ def connected_components(
         labels = new_labels.drop("ch")
         if changed == 0:
             break
+        # pointer-doubling path compression (Shiloach–Vishkin shortcut):
+        # lbl always holds a node id of the same component with
+        # lbl(v) <= v, so following the label chain one hop —
+        # lbl(v) <- lbl(lbl(v)) — stays in-component and is monotone
+        # non-increasing. Two hops after each non-final hook round turn
+        # O(diameter) edge rounds into O(log diameter) on chain-shaped
+        # graphs (verified near-dup edges form chains: A~B and B~C can
+        # both clear the threshold while A~C misses it). Each hop joins
+        # only the (s, lbl) table with itself — N fixed-width rows, no
+        # edges — and is built LAZILY here: it rides into the next hook
+        # round's plan and checkpoint, so already-converged graphs (the
+        # star-reduced LSH edge sets, diameter <= 2) pay no extra action
+        # for it and the per-round probe stays one count().
+        for _ in range(2):
+            chain = labels.select(
+                F.col("s").alias("lbl"), F.col("lbl").alias("lbl2")
+            )
+            labels = labels.join(chain, "lbl", "left").select(
+                "s", F.coalesce("lbl2", "lbl").alias("lbl")
+            )
 
     return labels.select(
         F.col("s").alias(id_col), F.col("lbl").alias(label_col)
