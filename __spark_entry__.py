@@ -1142,6 +1142,44 @@ def q_budget_select(spark, sf_dir):
     return budget_select(_docs(spark, sf_dir), token_budget=12_000)
 
 
+# Deterministic 30% training slice for the lm_quality registry query —
+# CCNet trains the LM on a clean reference corpus; the md5-prefix gate on
+# doc_id is the reproducible sandbox stand-in (same gate idiom as
+# stratified_sample: idempotent, engine-exact).
+_LM_TRAIN_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+    "as bigint) % 10 < 3"
+)
+_LM_TRAIN_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 10 < 3"
+)
+# Bucket thresholds sized to the synthetic corpus's score distribution
+# (26k-43k ppm over its ~40-word vocab); all three buckets non-empty at
+# sf0.001/sf0.01/sf0.1 (verified, not guessed).
+_LM_HEAD, _LM_MIDDLE = 36_000, 31_000
+
+
+def q_lm_quality_filter(spark, sf_dir):
+    """CCNet-style n-gram LM quality filter (operators/curation.py
+    lm_quality): bigram Stupid-Backoff model trained on a deterministic
+    30% slice, pruned to broadcastable size, scored in integer ppm (no
+    transcendentals — bit-exact cross-engine), bucketed head/middle/tail.
+    Training shuffles only 8-byte hashes; scoring is three broadcast model
+    joins + one doc-id groupBy; text never shuffles."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        lm_quality,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return lm_quality(
+        docs,
+        train_docs=docs.filter(F.expr(_LM_TRAIN_SPARK)),
+        head_ppm=_LM_HEAD,
+        middle_ppm=_LM_MIDDLE,
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1442,6 +1480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        # --- added after the round-5 gate regeneration: appended at the
+        # --- tail so the driver's 50-entry prefix sample is unchanged
+        "lm_quality_filter": q_lm_quality_filter,
     }
 
 
@@ -2051,5 +2092,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "budget_select": _curation.budget_select_oracle_sql(
             token_budget=12_000
+        ),
+        "lm_quality_filter": _curation.lm_quality_oracle_sql(
+            train_pred=_LM_TRAIN_DUCK,
+            head_ppm=_LM_HEAD,
+            middle_ppm=_LM_MIDDLE,
         ),
     }

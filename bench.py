@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "corpus_curate_v3",
     "source_cap",
     "budget_select",
+    "lm_quality_filter",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -1026,3 +1026,206 @@ def budget_select_oracle_sql(
       FROM base, bound WHERE base.score_ppm = bound._bscore
     ) WHERE _run <= _brem
     """
+
+
+# ------------------------------------------- n-gram LM quality (CCNet-style)
+# CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") filters web text by the perplexity of a
+# small n-gram language model trained on clean reference text, bucketing
+# documents into head / middle / tail. Reproduced Spark-first with a
+# bigram Stupid-Backoff model (Brants et al.) in pure integer ppm math —
+# no transcendentals, so scores are bit-exact across engines. Higher
+# score = more in-distribution (the inverse orientation of perplexity).
+#
+# Scale shape (100 TB): training shuffles only 8-byte token/bigram hashes
+# with map-side combine; the model is pruned to (max_vocab, max_bigrams)
+# rows — a bounded, broadcastable table like CCNet's pruned KenLM.
+# Scoring explodes hashes (text never shuffles after the scan), probes
+# three BROADCAST model joins, and reduces with one groupBy on the 8-byte
+# doc id. The top-K prune is a TakeOrdered of model-size (constant) rows,
+# independent of corpus scale.
+
+LM_ALPHA_PPM = 400_000  # Stupid-Backoff discount (0.4) quantized to ppm
+LM_HEAD_PPM = 260_000  # lm_bucket thresholds on the integer-ppm score
+LM_MIDDLE_PPM = 130_000
+
+_H64_SPARK_T = "cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+_H64_DUCK_T = "CAST(concat('0x', substr(md5({e}), 1, 15)) AS BIGINT)"
+
+# sequence(2, n) DESCENDS for n < 2 in Spark (sequence(2,1) = [2,1]) — the
+# guard is load-bearing, not defensive.
+_BIGRAMS_SPARK_T = (
+    "case when size({ws}) >= 2 then transform(sequence(2, size({ws})), "
+    "i -> concat(element_at({ws}, i - 1), ' ', element_at({ws}, i))) "
+    "else cast(array() as array<string>) end"
+)
+
+
+def lm_quality(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 65_536,
+    max_bigrams: int = 262_144,
+    alpha_ppm: int = LM_ALPHA_PPM,
+    head_ppm: int = LM_HEAD_PPM,
+    middle_ppm: int = LM_MIDDLE_PPM,
+) -> DataFrame:
+    """Score every document with a bigram LM and bucket head/middle/tail.
+
+    Model: counts over ``train_docs`` (default: ``docs`` itself — CCNet
+    trains on a clean slice; pass one), pruned to the ``max_vocab`` top
+    unigrams and ``max_bigrams`` top bigrams (count desc, hash asc — a
+    deterministic tie-break both engines reproduce). Per token position
+    i >= 2 the score is
+
+        seen bigram:  floor(1e6 * c(w_{i-1} w_i) / c(w_{i-1}))
+        backoff:      floor(alpha_ppm * c(w_i) / total_tokens)
+
+    (unigram counts AFTER pruning; total = sum over the pruned vocab, so
+    the model is self-consistent). The document score is the floored mean
+    over its n_words - 1 positions; docs under 2 words score 0. Returns
+    (id_col, lm_score_ppm, lm_bucket) — one row per input document.
+    """
+    ws = _WS_SPARK_T.format(col=text_col)
+    h = _H64_SPARK_T.format
+    tr = (train_docs if train_docs is not None else docs).select(
+        F.expr(ws).alias("ws")
+    )
+    c1 = (
+        tr.select(F.explode("ws").alias("w"))
+        .select(F.expr(h(e="w")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .orderBy(F.col("c1").desc(), F.col("h").asc())
+        .limit(max_vocab)
+    )
+    total = c1.agg(
+        F.greatest(F.coalesce(F.sum("c1"), F.lit(0)), F.lit(1)).alias("lm_total")
+    )
+    c2 = (
+        tr.select(F.explode(F.expr(_BIGRAMS_SPARK_T.format(ws="ws"))).alias("bg"))
+        .select(F.expr(h(e="bg")).alias("hb"))
+        .groupBy("hb")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .orderBy(F.col("c2").desc(), F.col("hb").asc())
+        .limit(max_bigrams)
+    )
+
+    toks = docs.select(F.col(id_col), F.expr(ws).alias("ws"))
+    pair_t = (
+        "case when size(ws) >= 2 then transform(sequence(2, size(ws)), "
+        "i -> struct(element_at(ws, i - 1) as wp, element_at(ws, i) as w)) "
+        "else cast(array() as array<struct<wp:string,w:string>>) end"
+    )
+    pairs = toks.select(id_col, F.explode(F.expr(pair_t)).alias("p")).select(
+        id_col,
+        F.expr(h(e="p.wp")).alias("hp"),
+        F.expr(h(e="p.w")).alias("hw"),
+        F.expr(h(e="concat(p.wp, ' ', p.w)")).alias("hb"),
+    )
+    scored = (
+        pairs.join(F.broadcast(c2), "hb", "left")
+        .join(
+            F.broadcast(c1.select(F.col("h").alias("hp"), F.col("c1").alias("c1p"))),
+            "hp",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("h").alias("hw"), F.col("c1").alias("c1w"))),
+            "hw",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.expr(
+                "case when c2 is not null and c1p is not null "
+                "then (1000000 * c2) div c1p "
+                f"else ({alpha_ppm} * coalesce(c1w, 0L)) div lm_total end"
+            ).alias("sp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("sp").alias("s"))
+    )
+    base = docs.select(F.col(id_col), F.expr(f"size({ws})").cast("long").alias("nw"))
+    out = base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.expr("case when nw >= 2 then coalesce(s, 0L) div (nw - 1) else 0L end")
+        .cast("long")
+        .alias("lm_score_ppm"),
+    )
+    return out.select(
+        id_col,
+        "lm_score_ppm",
+        F.expr(
+            f"case when lm_score_ppm >= {head_ppm} then 'head' "
+            f"when lm_score_ppm >= {middle_ppm} then 'middle' "
+            "else 'tail' end"
+        ).alias("lm_bucket"),
+    )
+
+
+def lm_quality_oracle_sql(
+    train_pred: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    max_vocab: int = 65_536,
+    max_bigrams: int = 262_144,
+    alpha_ppm: int = LM_ALPHA_PPM,
+    head_ppm: int = LM_HEAD_PPM,
+    middle_ppm: int = LM_MIDDLE_PPM,
+) -> str:
+    """DuckDB SQL reproducing lm_quality bit-for-bit: same md5-prefix
+    64-bit hashes, same count-desc/hash-asc prune, same integer-ppm
+    Stupid-Backoff, same floored-mean document score. ``train_pred`` is
+    the SQL predicate selecting the training slice of ``table``."""
+    hd = _H64_DUCK_T.format
+    bigr = "list_transform(generate_series(2, len(ws)), i -> ws[i-1] || ' ' || ws[i])"
+    return f"""
+    WITH train AS (SELECT {_WS_DUCK} AS ws FROM {table} WHERE {train_pred}),
+    uni AS (
+      SELECT h, count(*) AS c1 FROM (
+        SELECT {hd(e='w')} AS h FROM (SELECT unnest(ws) AS w FROM train)
+      ) GROUP BY h ORDER BY c1 DESC, h ASC LIMIT {max_vocab}
+    ),
+    tot AS (SELECT greatest(coalesce(sum(c1), 0), 1) AS lm_total FROM uni),
+    big AS (
+      SELECT hb, count(*) AS c2 FROM (
+        SELECT {hd(e='bg')} AS hb FROM (SELECT unnest({bigr}) AS bg FROM train)
+      ) GROUP BY hb ORDER BY c2 DESC, hb ASC LIMIT {max_bigrams}
+    ),
+    toks AS (SELECT {id_col}, {_WS_DUCK} AS ws FROM {table}),
+    pairs AS (
+      SELECT {id_col},
+             unnest(list_transform(generate_series(2, len(ws)), i -> ws[i-1])) AS wp,
+             unnest(list_transform(generate_series(2, len(ws)), i -> ws[i])) AS w
+      FROM toks
+    ),
+    per AS (
+      SELECT p.{id_col},
+             CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  THEN (1000000 * b.c2) // u1.c1
+                  ELSE ({alpha_ppm} * coalesce(u2.c1, 0)) // t.lm_total END AS sp
+      FROM pairs p
+      LEFT JOIN big b ON b.hb = {hd(e="p.wp || ' ' || p.w")}
+      LEFT JOIN uni u1 ON u1.h = {hd(e='p.wp')}
+      LEFT JOIN uni u2 ON u2.h = {hd(e='p.w')}
+      CROSS JOIN tot t
+    ),
+    sums AS (SELECT {id_col}, sum(sp) AS s FROM per GROUP BY {id_col}),
+    scored AS (
+      SELECT b.{id_col},
+             CAST(CASE WHEN b.nw >= 2 THEN coalesce(s, 0) // (b.nw - 1)
+                       ELSE 0 END AS BIGINT) AS lm_score_ppm
+      FROM (SELECT {id_col}, CAST(len({_WS_DUCK}) AS BIGINT) AS nw
+            FROM {table}) b
+      LEFT JOIN sums USING ({id_col})
+    )
+    SELECT {id_col}, lm_score_ppm,
+           CASE WHEN lm_score_ppm >= {head_ppm} THEN 'head'
+                WHEN lm_score_ppm >= {middle_ppm} THEN 'middle'
+                ELSE 'tail' END AS lm_bucket
+    FROM scored
+    """

@@ -1353,3 +1353,100 @@ def test_budget_select_greedy_reference_model(spark):
     # budget >= total keeps everything (the one-row agg must not annihilate)
     all_got = budget_select(docs, token_budget=10_000)
     assert all_got.count() == len(texts)
+
+
+def test_lm_quality_reference_model(spark):
+    """lm_quality must equal a pure-python reimplementation of the bigram
+    Stupid-Backoff model (same integer-ppm math, same floored mean), rank
+    in-distribution text above scrambled text above OOV gibberish, emit
+    one row per input doc (short/empty/null docs score 0 = tail), and
+    keep the model joins broadcast with no Python in the plan."""
+    from collections import Counter
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        LM_ALPHA_PPM,
+        lm_quality,
+    )
+
+    train_rows = [(i, "the cat sat on the mat") for i in range(3)] + [
+        (100 + i, "a dog ate my homework today") for i in range(2)
+    ]
+    score_rows = [
+        (1, "the cat sat on the mat"),  # every bigram in-model
+        (2, "mat the on cat sat the"),  # unigrams seen, bigrams backoff
+        (3, "zzz qqq xxx yyy"),  # fully OOV -> 0
+        (4, "single"),  # < 2 words -> 0
+        (5, None),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(score_rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    res = lm_quality(docs, train_docs=train, head_ppm=500_000, middle_ppm=1)
+    got = {
+        r["doc_id"]: (r["lm_score_ppm"], r["lm_bucket"]) for r in res.collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+
+    # pure-python mirror (vocab far under the prune caps, so raw words
+    # stand in for the md5-64 hashes without collision risk)
+    def toks(t):
+        return [w for w in (t or "").lower().split(" ") if w]
+
+    c1, c2 = Counter(), Counter()
+    for _, t in train_rows:
+        ws = toks(t)
+        c1.update(ws)
+        c2.update(f"{x} {y}" for x, y in zip(ws, ws[1:]))
+    total = sum(c1.values())
+
+    def ref(t):
+        ws = toks(t)
+        if len(ws) < 2:
+            return 0
+        s = 0
+        for x, y in zip(ws, ws[1:]):
+            bg = f"{x} {y}"
+            if bg in c2 and x in c1:
+                s += 1_000_000 * c2[bg] // c1[x]
+            else:
+                s += LM_ALPHA_PPM * c1.get(y, 0) // total
+        return s // (len(ws) - 1)
+
+    for doc_id, text in score_rows:
+        assert got[doc_id][0] == ref(text), (doc_id, text)
+    assert got[1][0] > got[2][0] > got[3][0] == 0
+    assert got[4] == (0, "tail") and got[5] == (0, "tail") and got[6] == (0, "tail")
+    assert got[1][1] == "head" and got[2][1] == "middle" and got[3][1] == "tail"
+
+    # plan hygiene: model lookups broadcast, scoring python-free
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_lm_quality_prune_caps_and_tiebreak(spark):
+    """The model prune must keep the top-K by (count desc, hash asc): with
+    max_vocab=1 only the corpus-dominant unigram survives, every other
+    token backs off to zero, and scores stay deterministic."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        lm_quality,
+    )
+
+    # 'the' dominates; with max_vocab=1 and max_bigrams=1 only ('the',
+    # 'the the') survive the prune
+    train = spark.createDataFrame(
+        [(1, "the the the the rare")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the the"), (2, "rare rare")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lm_score_ppm"]
+        for r in lm_quality(
+            docs, train_docs=train, max_vocab=1, max_bigrams=1
+        ).collect()
+    }
+    # doc 1: bigram 'the the' seen 3x, c1('the')=4 -> 750000
+    assert got[1] == 750_000
+    # doc 2: 'rare' pruned from the vocab -> full backoff to 0
+    assert got[2] == 0
