@@ -1180,6 +1180,36 @@ def q_lm_quality_filter(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """EXACTSUBSTR duplicated-span stats (operators/dedup.py span_dedup,
+    Lee et al. 2022): every 20-token window occurring >= 2 times anywhere
+    in the corpus marks a duplicated span; overlapping windows merge into
+    maximal spans per document. Only (doc_id, pos, 16B hash) triples move
+    — window hashes per-row via HOFs, counts/joins on the hash, interval
+    merge via the window-function island trick. Text never shuffles."""
+    return D.span_dedup(_docs(spark, sf_dir))
+
+
+# DSIR target slice for the registry query: English documents (the classic
+# use — resample a mixed raw corpus toward a target domain). Selection is
+# relative (above corpus-mean importance), so it stays non-degenerate at
+# every SF of this synthetic corpus.
+_DSIR_TARGET_DUCK = "lang = 'en'"
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/curation.py, Xie et al.
+    2023): hashed bag-of-words bucket counts fitted distributively over
+    the target slice and raw corpus (bounded 2 x 1024-row collect, the
+    IVF-centroid precedent), integer milli-nat log-ratio weights from ONE
+    pure-python function feeding both engines, then a codegen scoring
+    projection + above-corpus-mean integer multiply-compare selection.
+    The corpus never shuffles."""
+    docs = _docs(spark, sf_dir)
+    weights = _curation.dsir_fit(docs, docs.filter(F.col("lang") == "en"))
+    return _curation.dsir_select(docs, weights)
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1483,6 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- added after the round-5 gate regeneration: appended at the
         # --- tail so the driver's 50-entry prefix sample is unchanged
         "lm_quality_filter": q_lm_quality_filter,
+        "span_dedup": q_span_dedup,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -2097,5 +2129,19 @@ def oracle_sql() -> dict[str, str]:
             train_pred=_LM_TRAIN_DUCK,
             head_ppm=_LM_HEAD,
             middle_ppm=_LM_MIDDLE,
+        ),
+        "span_dedup": D.span_dedup_oracle_sql(),
+        # parity-by-construction literals (the ivf_oracle_centroids idiom):
+        # the oracle generator re-fits the same bucket counts via DuckDB
+        # and runs the same pure-python dsir_log_ratios, so both engines
+        # score against identical integer weight tables.
+        "dsir_sample": _curation.dsir_select_oracle_sql(
+            _curation.dsir_oracle_weights(
+                os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+                )
+                + "/documents.parquet",
+                _DSIR_TARGET_DUCK,
+            )
         ),
     }

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "source_cap",
     "budget_select",
     "lm_quality_filter",
+    "span_dedup",
+    "dsir_sample",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -1229,3 +1229,185 @@ def lm_quality_oracle_sql(
                 ELSE 'tail' END AS lm_bucket
     FROM scored
     """
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+# Hashed bag-of-words importance weights: fit unigram bucket counts over a
+# TARGET slice (the domain you want more of) and over the RAW corpus, then
+# score every document by the sum of per-token log ratios
+# log p_target(b) - log p_raw(b) (Laplace-smoothed) and keep docs whose
+# total importance is positive (more target-like than raw).
+#
+# Scale design: fitting is two partial-agg bucket counts (only
+# (bucket, count) pairs shuffle — at most n_buckets rows survive); the
+# model collect is BOUNDED at 2 x n_buckets rows regardless of corpus size
+# (the IVF-centroid precedent); scoring is a pure codegen projection
+# against a broadcast literal weight array — the corpus never shuffles.
+# Cross-engine determinism: the log-ratio table is computed by ONE pure
+# Python function from integer counts both engines reproduce exactly, so
+# identical literals feed the Spark plan and the DuckDB oracle (the
+# parity-by-construction idiom ivf_oracle_centroids established); the
+# per-document scoring is pure integer arithmetic.
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1000  # log-ratios in milli-nats
+
+
+def dsir_log_ratios(
+    target_counts: "dict[int, int]",
+    raw_counts: "dict[int, int]",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> "list[int]":
+    """Integer log-ratio weights floor(scale * ln(p_t(b)/p_r(b))) with
+    add-one smoothing. Pure Python on bounded integer counts — the single
+    source of truth for BOTH engines' literals."""
+    import math
+
+    t_total = sum(target_counts.values()) + n_buckets
+    r_total = sum(raw_counts.values()) + n_buckets
+    return [
+        math.floor(
+            scale
+            * (
+                math.log(target_counts.get(b, 0) + 1)
+                - math.log(t_total)
+                - math.log(raw_counts.get(b, 0) + 1)
+                + math.log(r_total)
+            )
+        )
+        for b in range(n_buckets)
+    ]
+
+
+def _dsir_bucket_spark(tok: str, n_buckets: int) -> str:
+    return f"cast({_H64_SPARK_T.format(e=tok)} % {n_buckets} as int)"
+
+
+def _dsir_bucket_duck(tok: str, n_buckets: int) -> str:
+    return f"CAST({_H64_DUCK_T.format(e=tok)} % {n_buckets} AS INT)"
+
+
+def dsir_fit(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> "list[int]":
+    """Fit the weight table distributively: two hashed-unigram bucket
+    counts (partial aggs; only (bucket, count) pairs move), one bounded
+    collect of <= 2 x n_buckets rows, then dsir_log_ratios."""
+    ws = _WS_SPARK_T.format(col=text_col)
+    b = _dsir_bucket_spark("w", n_buckets)
+
+    def counts(df: DataFrame) -> "dict[int, int]":
+        rows = (
+            df.select(F.explode(F.expr(ws)).alias("w"))
+            .select(F.expr(b).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    return dsir_log_ratios(counts(target), counts(docs), n_buckets, scale)
+
+
+def dsir_oracle_weights(
+    parquet_path: str,
+    target_pred: str,
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> "list[int]":
+    """The oracle generator's copy of the fit: identical tokenization,
+    hash, and bucketing via DuckDB, then the same dsir_log_ratios — so the
+    literals embedded in the oracle SQL equal the ones the Spark plan
+    broadcasts."""
+    import duckdb
+
+    con = duckdb.connect()
+    ws = _WS_DUCK
+    b = _dsir_bucket_duck("w", n_buckets)
+
+    def counts(pred: str) -> "dict[int, int]":
+        rows = con.execute(
+            f"SELECT {b} AS b, count(*) AS c FROM ("
+            f"  SELECT unnest({ws}) AS w"
+            f"  FROM read_parquet('{parquet_path}') WHERE {pred}"
+            f") GROUP BY b"
+        ).fetchall()
+        return {r[0]: r[1] for r in rows}
+
+    return dsir_log_ratios(counts(target_pred), counts("TRUE"), n_buckets, scale)
+
+
+def dsir_select(
+    docs: DataFrame,
+    weights: "list[int]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a fitted weight table and flag the
+    target-like ones. Returns (id_col, dsir_score_milli, selected) — one
+    row per input doc; selected iff the doc's summed importance exceeds
+    the CORPUS MEAN importance (strictly). The relative rule is
+    self-normalizing: the Laplace-smoothing bias that shifts every
+    absolute score identically per token cancels out, so the selection
+    stays meaningful at any corpus scale. The comparison is pure integer
+    multiply-compare (score * n_docs > sum_scores) — no floor-division
+    semantics to diverge between engines.
+
+    Cost: one codegen projection over a broadcast literal array, one
+    partial agg over (long, long), one broadcast of a single stats row.
+    The corpus never shuffles."""
+    n_buckets = len(weights)
+    ws = _WS_SPARK_T.format(col=text_col)
+    b = _dsir_bucket_spark("t", n_buckets)
+    score = (
+        f"coalesce(aggregate(transform({ws}, "
+        f"t -> element_at(__dsir_w, {b} + 1)), "
+        f"cast(0 as bigint), (acc, x) -> acc + x), 0L)"
+    )
+    scored = docs.withColumn("__dsir_w", F.lit(weights)).select(
+        F.col(id_col),
+        F.expr(score).cast("long").alias("dsir_score_milli"),
+    )
+    stats = scored.agg(
+        F.sum("dsir_score_milli").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return scored.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "dsir_score_milli",
+        (F.col("dsir_score_milli") * F.col("__n") > F.col("__s")).alias("selected"),
+    )
+
+
+def dsir_select_oracle_sql(
+    weights: "list[int]",
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL reproducing dsir_select bit-for-bit against the same
+    literal weight table."""
+    n_buckets = len(weights)
+    lit = "[" + ", ".join(str(w) for w in weights) + "]"
+    b = _dsir_bucket_duck("t", n_buckets)
+    return f"""
+    WITH wt AS (SELECT {lit}::BIGINT[] AS w),
+    scored AS (
+      SELECT {id_col},
+             CAST(coalesce(list_aggregate(
+               list_transform({_WS_DUCK}, t -> wt.w[{b} + 1]),
+               'sum'), 0) AS BIGINT) AS dsir_score_milli
+      FROM {table}, wt
+    ),
+    stats AS (SELECT CAST(sum(dsir_score_milli) AS BIGINT) AS s,
+                     CAST(count(*) AS BIGINT) AS n FROM scored)
+    SELECT {id_col}, dsir_score_milli,
+           dsir_score_milli * stats.n > stats.s AS selected
+    FROM scored, stats
+    """

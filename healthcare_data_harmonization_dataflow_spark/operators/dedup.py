@@ -761,3 +761,157 @@ def ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
     JOIN sizes s2 ON s2.doc_id = doc2
     WHERE floor(common * 1000000.0 / (s1.sz + s2.sz - common)) >= {threshold_ppm}
     """
+
+
+# --------------------------------------------------- exact substring spans
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") EXACTSUBSTR: any k-token window occurring >= 2 times anywhere in
+# the corpus (across documents OR repeated within one) is a duplicated
+# span; overlapping/contiguous duplicated windows merge into maximal spans.
+# The reference suffix-array build is a single-machine design; the Spark
+# re-expression moves only (doc_id, pos, 16B window-hash) triples:
+#   1. per-row window hashes via higher-order functions (no token shuffle),
+#   2. corpus-wide occurrence counts on the 16-byte hash (partial aggs),
+#   3. hash-join occurrences back to the >=2 set,
+#   4. per-document interval merge with window functions (island trick) —
+#      the per-doc shuffle carries only hit positions, never text.
+SPAN_K = 20
+
+_SEQ_WORDS_SPARK = "filter(split(lower(coalesce({col}, '')), ' '), w -> w != '')"
+_SEQ_WORDS_DUCK = (
+    "list_filter(string_split(lower(coalesce({col}, '')), ' '), w -> w != '')"
+)
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span stats under the EXACTSUBSTR rule.
+
+    Returns one row per input document:
+    ``(id_col, n_dup_spans, dup_tokens, dup_frac_ppm)`` — the count of
+    maximal merged duplicated spans, the total tokens they cover, and the
+    floored ppm fraction of the document's tokens that are duplicated
+    (0/0/0 for clean or shorter-than-k docs).
+
+    Hash = md5 of the space-joined k-token window (hex string, identical
+    in DuckDB), so the oracle reproduces every stage bit-for-bit.
+    """
+    toks = docs.select(
+        F.col(id_col), F.expr(_SEQ_WORDS_SPARK.format(col=text_col)).alias("ws")
+    )
+    # sequence(1, ub) DESCENDS when ub < 1 (default step -1): short docs
+    # must produce an empty window list, not [1, 0]
+    ub = F.size(F.col("ws")) - (k - 1)
+    starts = F.when(ub >= 1, F.sequence(F.lit(1), ub)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("s"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, F.lit(k)))).alias("h"),
+        ),
+    )
+    occ = toks.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.s").alias("s"), F.col("g.h").alias("h")
+    )
+    # total occurrences (NOT distinct docs): a window repeated twice inside
+    # one document is a duplicate under the rule
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = occ.join(dup, "h", "inner").select(
+        id_col, "s", (F.col("s") + k).alias("e")
+    )
+    # island trick: a hit starts a new maximal span iff its start lies
+    # strictly past the running max end of all earlier hits (s is unique
+    # per doc, so the order is total and the running sum deterministic)
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.select(
+        id_col,
+        "s",
+        "e",
+        (F.col("s") > F.coalesce(prev_e, F.lit(-1))).cast("int").alias("ni"),
+    )
+    isl = marked.select(
+        id_col,
+        "s",
+        "e",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    spans = isl.groupBy(id_col, "g").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("ee") - F.col("ss")).cast("long").alias("dup_tokens"),
+    )
+    base = toks.select(F.col(id_col), F.size("ws").cast("long").alias("nw"))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "case when nw >= 1 then (1000000 * coalesce(dup_tokens, 0)) div nw "
+            "else 0 end"
+        )
+        .cast("long")
+        .alias("dup_frac_ppm"),
+    )
+
+
+def span_dedup_oracle_sql(
+    k: int = SPAN_K, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL reproducing span_dedup exactly: same md5 window hashes,
+    same >=2 total-occurrence rule, same island merge, same floored ppm."""
+    ws = _SEQ_WORDS_DUCK.format(col="text")
+    return f"""
+    WITH toks AS (SELECT {id_col}, {ws} AS ws FROM {table}),
+    occ AS (
+      SELECT {id_col},
+             unnest(generate_series(1, len(ws) - {k - 1})) AS s,
+             unnest(list_transform(
+               generate_series(1, len(ws) - {k - 1}),
+               i -> md5(array_to_string(ws[i:i + {k - 1}], ' ')))) AS h
+      FROM toks WHERE len(ws) >= {k}
+    ),
+    dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+    hits AS (
+      SELECT o.{id_col}, o.s, o.s + {k} AS e FROM occ o JOIN dup USING (h)
+    ),
+    marked AS (
+      SELECT {id_col}, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY {id_col} ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ),
+    isl AS (
+      SELECT {id_col}, s, e,
+             sum(ni) OVER (PARTITION BY {id_col} ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    ),
+    spans AS (SELECT {id_col}, g, min(s) AS ss, max(e) AS ee
+              FROM isl GROUP BY {id_col}, g),
+    agg AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(sum(ee - ss) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY {id_col})
+    SELECT t.{id_col},
+           CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN len(t.ws) >= 1
+                     THEN (1000000 * coalesce(a.dup_tokens, 0)) // len(t.ws)
+                     ELSE 0 END AS BIGINT) AS dup_frac_ppm
+    FROM toks t LEFT JOIN agg a USING ({id_col})
+    """

@@ -1450,3 +1450,166 @@ def test_lm_quality_prune_caps_and_tiebreak(spark):
     assert got[1] == 750_000
     # doc 2: 'rare' pruned from the vocab -> full backoff to 0
     assert got[2] == 0
+
+
+def test_span_dedup_reference_model(spark):
+    """span_dedup must equal a pure-python EXACTSUBSTR mirror (md5 window
+    hashes, >=2 total occurrences incl. within-doc repeats, maximal
+    interval merge, floored ppm), emit one row per input doc (short /
+    empty / null docs -> zeros), and keep the plan python-free."""
+    import hashlib
+    from collections import Counter
+
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    k = 3
+    rows = [
+        (1, "p q r s t u"),  # shares the run 'p q r s' with doc 2
+        (2, "m n p q r s"),
+        (3, "h i j k h i j"),  # within-doc repeat of 'h i j' -> 2 spans
+        (4, "clean words only here"),  # no duplicated window
+        (5, "one two"),  # shorter than k
+        (6, None),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = span_dedup(docs, k=k)
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["dup_frac_ppm"])
+        for r in res.collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+
+    # pure-python mirror
+    def toks(t):
+        return [w for w in (t or "").lower().split(" ") if w]
+
+    cnt = Counter()
+    occ = {}
+    for d, t in rows:
+        ws = toks(t)
+        lst = []
+        for i in range(len(ws) - k + 1):
+            h = hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()
+            lst.append((i + 1, h))
+            cnt[h] += 1
+        occ[d] = lst
+    for d, t in rows:
+        ws = toks(t)
+        spans = []
+        for s in sorted(s for s, h in occ[d] if cnt[h] >= 2):
+            e = s + k
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        dt = sum(e - s for s, e in spans)
+        nw = len(ws)
+        exp = (len(spans), dt, (1_000_000 * dt) // nw if nw >= 1 else 0)
+        assert got[d] == exp, (d, got[d], exp)
+
+    # the constructed shapes actually exercised merge + within-doc repeat
+    assert got[1] == (1, 4, 666_666)  # windows at 1,2 merged -> [1, 5)
+    assert got[3][0] == 2  # two disjoint maximal spans
+    assert got[4] == (0, 0, 0) and got[5] == (0, 0, 0)
+    assert got[6] == (0, 0, 0) and got[7] == (0, 0, 0)
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_span_dedup_contiguous_run_is_one_span(spark):
+    """A duplicated region longer than k (every offset's window repeats)
+    must collapse to ONE maximal span covering the whole region — and a
+    fully duplicated doc reports dup_frac_ppm == 1_000_000."""
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        span_dedup,
+    )
+
+    body = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["dup_frac_ppm"])
+        for r in span_dedup(docs, k=3).collect()
+    }
+    assert got[1] == (1, 8, 1_000_000)
+    assert got[2] == (1, 8, 1_000_000)
+
+
+def test_dsir_reference_model(spark):
+    """dsir_fit + dsir_select must equal a pure-python mirror end-to-end
+    (md5-64 bucket hash, add-one-smoothed milli-nat log ratios computed
+    independently with math.log, integer scoring, above-corpus-mean
+    multiply-compare selection), and the scoring plan stays python-free."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        dsir_fit,
+        dsir_select,
+    )
+
+    rows = [
+        (1, "alpha beta alpha gamma", "en"),
+        (2, "alpha beta beta beta", "en"),
+        (3, "delta epsilon zeta delta", "fr"),
+        (4, "eta theta iota kappa", "fr"),
+        (5, "alpha delta", "fr"),
+        (6, None, "en"),
+        (7, "", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    n_buckets = 64
+    weights = dsir_fit(
+        docs, docs.filter("lang = 'en'"), n_buckets=n_buckets
+    )
+
+    def toks(t):
+        return [w for w in (t or "").lower().split(" ") if w]
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+
+    tgt, raw = Counter(), Counter()
+    for _, t, lang in rows:
+        for w in toks(t):
+            raw[bucket(w)] += 1
+            if lang == "en":
+                tgt[bucket(w)] += 1
+    t_total = sum(tgt.values()) + n_buckets
+    r_total = sum(raw.values()) + n_buckets
+    ref_w = [
+        math.floor(
+            1000
+            * (
+                math.log(tgt.get(b, 0) + 1)
+                - math.log(t_total)
+                - math.log(raw.get(b, 0) + 1)
+                + math.log(r_total)
+            )
+        )
+        for b in range(n_buckets)
+    ]
+    assert weights == ref_w
+
+    scores = {
+        d: sum(ref_w[bucket(w)] for w in toks(t)) for d, t, _ in rows
+    }
+    s, n = sum(scores.values()), len(scores)
+    res = dsir_select(docs, weights)
+    got = {
+        r["doc_id"]: (r["dsir_score_milli"], r["selected"])
+        for r in res.collect()
+    }
+    assert got == {d: (sc, sc * n > s) for d, sc in scores.items()}
+    # target-vocab docs above the mean, raw-only docs below
+    assert got[1][1] and got[2][1]
+    assert not got[3][1] and not got[4][1]
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
