@@ -27,6 +27,7 @@ from healthcare_data_harmonization_dataflow_spark.functions import text as T
 from healthcare_data_harmonization_dataflow_spark.model.errors import err_rows, ok_rows
 from healthcare_data_harmonization_dataflow_spark.operators import curation as _curation
 from healthcare_data_harmonization_dataflow_spark.operators import dedup as D
+from healthcare_data_harmonization_dataflow_spark.operators import tokenize as _tokenize
 from healthcare_data_harmonization_dataflow_spark.operators import graph as G
 from healthcare_data_harmonization_dataflow_spark.operators import multimodal as MM
 from healthcare_data_harmonization_dataflow_spark.operators import similarity as S
@@ -1210,6 +1211,90 @@ def q_dsir_sample(spark, sf_dir):
     return _curation.dsir_select(docs, weights)
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 rule-based cleaning (operators/curation.py c4_filters, Raffel et
+    al. 2020 section 2.2): line rules (terminal punctuation, >= 5 words, no
+    'javascript') + document gates (>= 3 surviving lines, no 'lorem
+    ipsum', no curly brace), all in ONE codegen projection — zero shuffle
+    at any corpus size. Sentences become lines deterministically and every
+    rule is exercised by injected boilerplate (short CTA line, javascript
+    notice, lorem-ipsum filler, code fragment)."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        c4_filters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"\. ", ".\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\nclick here")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nPlease enable javascript to view this page."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nLorem ipsum dolor sit amet, consectetur elit."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit("\nif (x) { return; }")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_filters(aug)
+
+
+# DuckDB mirror of q_c4_filters' deterministic augmentation (CASE mirrors
+# Spark's NULL-propagating concat, the dedup_lines idiom).
+_C4_AUG_DUCK = """(
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE
+         concat(regexp_replace(text, '\\. ', '.' || chr(10), 'g'),
+                CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'click here' ELSE '' END,
+                CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Please enable javascript to view this page.' ELSE '' END,
+                CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur elit.' ELSE '' END,
+                CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'if (x) { return; }' ELSE '' END)
+         END AS text
+  FROM documents)"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Dedup-preprocessing canonicalization (functions/text.py
+    normalize_documents): lowercase, punctuation -> space, digit runs ->
+    '0', whitespace collapse, trim, plus the md5 norm_hash to feed exact
+    dedup / MinHash shingling. Pure regexp codegen — one pruned scan, no
+    shuffle."""
+    return T.normalize_documents(_docs(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus report (operators/curation.py corpus_stats): per-(lang,
+    source) doc/token/char totals + token min/max. One map-side-combinable
+    groupBy; the shuffle moves one tiny row per (lang, source) per task,
+    never text."""
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        corpus_stats,
+    )
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE merge iteration corpus-wide (operators/tokenize.py):
+    word frequencies (one combinable groupBy, Zipf-bounded distinct-word
+    table), adjacent-pair expansion over DISTINCT words only (per-row
+    HOFs, O(vocabulary) work), alphabet^2-bounded pair totals, and the
+    deterministic count-desc/pair-asc top-50."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_pair_counts,
+    )
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1515,6 +1600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_filter": q_lm_quality_filter,
         "span_dedup": q_span_dedup,
         "dsir_sample": q_dsir_sample,
+        "c4_filters": q_c4_filters,
+        "text_normalize": q_text_normalize,
+        "corpus_stats": q_corpus_stats,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -2135,6 +2224,10 @@ def oracle_sql() -> dict[str, str]:
         # the oracle generator re-fits the same bucket counts via DuckDB
         # and runs the same pure-python dsir_log_ratios, so both engines
         # score against identical integer weight tables.
+        "c4_filters": _curation.c4_filters_oracle_sql(table=_C4_AUG_DUCK),
+        "text_normalize": T.normalize_oracle_sql(),
+        "corpus_stats": _curation.corpus_stats_oracle_sql(),
+        "bpe_pair_counts": _tokenize.bpe_pair_counts_oracle_sql(top_k=50),
         "dsir_sample": _curation.dsir_select_oracle_sql(
             _curation.dsir_oracle_weights(
                 os.environ.get(

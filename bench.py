@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "lm_quality_filter",
     "span_dedup",
     "dsir_sample",
+    "c4_filters",
+    "text_normalize",
+    "corpus_stats",
+    "bpe_pair_counts",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

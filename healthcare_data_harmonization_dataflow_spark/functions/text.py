@@ -149,3 +149,50 @@ def analyze_documents(docs: DataFrame) -> DataFrame:
         langid_col(),
         fingerprint_col(),
     )
+
+
+# ------------------------------------------------------------ normalization
+# Dedup-preprocessing canonical form (the normalization MinHash/suffix
+# pipelines apply before shingling — cf. Lee et al. 2022 section 4.1):
+# lowercase, punctuation -> space, digit runs -> '0', whitespace collapse,
+# trim. Java's \p{Punct} and RE2's [[:punct:]] are the same 32 ASCII
+# characters, and the explicit [ \t\n\r]+ class avoids the one place the
+# two engines' \s definitions differ (\x0B). Pure regexp codegen: a
+# 100 TB normalization pass is one pruned scan with zero shuffle.
+
+
+def normalize_cols(text_col: str = "text") -> list:
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower(coalesce({text_col}, '')), "
+        "'\\\\p{Punct}', ' '), "
+        "'[0-9]+', '0'), "
+        "'[ \\t\\n\\r]+', ' '))"
+    )
+    return [
+        F.expr(norm).alias("norm_text"),
+        F.expr(f"md5({norm})").alias("norm_hash"),
+    ]
+
+
+def normalize_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"lower(coalesce({text_col}, '')), "
+        "'[[:punct:]]', ' ', 'g'), "
+        "'[0-9]+', '0', 'g'), "
+        "'[ \t\n\r]+', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id,
+           {norm} AS norm_text,
+           md5({norm}) AS norm_hash
+    FROM {table}
+    """
+
+
+def normalize_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + canonical `norm_text` + its md5 `norm_hash` — the exact
+    form to feed exact dedup / MinHash shingling so trivially-variant
+    documents (case, punctuation, number strings, spacing) collide."""
+    return docs.select("doc_id", *normalize_cols(text_col))

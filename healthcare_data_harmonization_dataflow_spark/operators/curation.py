@@ -1411,3 +1411,137 @@ def dsir_select_oracle_sql(
            dsir_score_milli * stats.n > stats.s AS selected
     FROM scored, stats
     """
+
+
+# --------------------------------------------------------------------------
+# C4-style rule-based cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", section 2.2): the line/document rule filter every
+# web-corpus pipeline runs BEFORE dedup and quality models. Line rules:
+# keep a line only if it ends in terminal punctuation, has at least
+# `min_line_words` whitespace words, and does not mention "javascript".
+# Document rules: keep a document only if at least `min_doc_lines` lines
+# survive and the raw text contains neither "lorem ipsum" nor a curly
+# brace (the paper's code-page heuristic).
+#
+# Scale design: the whole pass is ONE codegen projection per document —
+# split / filter / concat_ws higher-order expressions, zero Python, zero
+# shuffle at any corpus size. The dropped text never leaves the scan.
+# --------------------------------------------------------------------------
+
+# Terminal-punctuation rule shared by both engines (Java regex and RE2
+# agree on this subset: a character class + end anchor). The paper keeps
+# lines ending in . ! ? or a closing quote.
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_doc_lines: int = 3,
+) -> DataFrame:
+    """C4 rule filter: per-document `clean_text` (surviving lines joined by
+    newline), line counts, and the document-level `keep` verdict.
+
+    Everything is whole-stage-codegen expressions over one pruned scan —
+    a 100 TB pass is embarrassingly parallel with no shuffle."""
+    ws = _WS_SPARK_T.format(col="l")
+    raw = f"coalesce({text_col}, '')"
+    kept = (
+        f"filter(split({raw}, '\\n'), l -> "
+        f"l rlike '{_C4_TERMINAL_RE}' "
+        f"AND size({ws}) >= {int(min_line_words)} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"concat_ws('\\n', {kept})").alias("clean_text"),
+        F.expr(f"cast(size({kept}) as bigint)").alias("n_lines_kept"),
+        F.expr(f"cast(size(split({raw}, '\\n')) as bigint)").alias(
+            "n_lines_total"
+        ),
+        F.expr(
+            f"size({kept}) >= {int(min_doc_lines)} "
+            f"AND NOT contains(lower({raw}), 'lorem ipsum') "
+            f"AND NOT contains({raw}, '{{')"
+        ).alias("keep"),
+    )
+
+
+def c4_filters_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_doc_lines: int = 3,
+) -> str:
+    """DuckDB SQL reproducing c4_filters bit-for-bit (same regex subset,
+    same word-split, same gates)."""
+    raw = f"coalesce({text_col}, '')"
+    kept = (
+        f"list_filter(string_split({raw}, chr(10)), l -> "
+        f"regexp_matches(l, '{_C4_TERMINAL_RE}') "
+        f"AND len(list_filter(string_split(lower(l), ' '), w -> w != '')) "
+        f">= {int(min_line_words)} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+    SELECT doc_id,
+           coalesce(array_to_string({kept}, chr(10)), '') AS clean_text,
+           CAST(len({kept}) AS BIGINT) AS n_lines_kept,
+           CAST(len(string_split({raw}, chr(10))) AS BIGINT) AS n_lines_total,
+           (len({kept}) >= {int(min_doc_lines)}
+            AND NOT contains(lower({raw}), 'lorem ipsum')
+            AND NOT contains({raw}, '{{')) AS keep
+    FROM {table}
+    """
+
+
+# --------------------------------------------------------------------------
+# Corpus report: the per-(lang, source) summary every pipeline materializes
+# before and after curation to sanity-check mixture proportions. One
+# map-side-combinable groupBy — the only shuffle moves one tiny row per
+# (lang, source) pair per task, never text.
+# --------------------------------------------------------------------------
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) document/token/char totals and token-count
+    min/max. Token = whitespace word, NULL text = 0 tokens (doc still
+    counted)."""
+    ws = _WS_SPARK_T.format(col=text_col)
+    toks = F.expr(f"cast(size({ws}) as bigint)")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            toks.alias("__t"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("__c"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+            F.sum("__c").alias("total_chars"),
+            F.min("__t").alias("min_tokens"),
+            F.max("__t").alias("max_tokens"),
+        )
+    )
+
+
+def corpus_stats_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    duck_ws = (
+        f"list_filter(string_split(lower(coalesce({text_col}, '')), ' '), "
+        "w -> w != '')"
+    )
+    return f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({duck_ws})) AS BIGINT) AS total_tokens,
+           CAST(sum(length(coalesce({text_col}, ''))) AS BIGINT) AS total_chars,
+           CAST(min(len({duck_ws})) AS BIGINT) AS min_tokens,
+           CAST(max(len({duck_ws})) AS BIGINT) AS max_tokens
+    FROM {table}
+    GROUP BY lang, source
+    """

@@ -1613,3 +1613,168 @@ def test_dsir_reference_model(spark):
 
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_c4_filters_semantics_exact(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        c4_filters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "this is a good first sentence.\n"
+                "here is another proper long sentence!\n"
+                "click here\n"
+                "does this sentence end with a question mark?\n"
+                "no terminal punctuation on this one",
+            ),
+            (
+                2,
+                "please enable javascript to read this article today.\n"
+                "one single good line is not enough to keep it.",
+            ),
+            (
+                3,
+                "a perfectly fine sentence number one right here.\n"
+                "a perfectly fine sentence number two right here.\n"
+                "a perfectly fine sentence number three right here.\n"
+                "Lorem Ipsum dolor sit amet and so on.",
+            ),
+            (
+                4,
+                "a perfectly fine sentence number one right here.\n"
+                "a perfectly fine sentence number two right here.\n"
+                "a perfectly fine sentence number three right here.\n"
+                "var f = function() { return 1; }",
+            ),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+    # doc 1: 'click here' (2 words) and the unterminated line drop; the
+    # other 3 survive -> keep
+    assert got[1]["keep"] and got[1]["n_lines_kept"] == 3
+    assert got[1]["clean_text"].splitlines() == [
+        "this is a good first sentence.",
+        "here is another proper long sentence!",
+        "does this sentence end with a question mark?",
+    ]
+    # doc 2: javascript line dropped; only 1 surviving line < 3 -> drop
+    assert not got[2]["keep"] and got[2]["n_lines_kept"] == 1
+    # docs 3/4: enough good lines but the doc-level gates fire
+    assert got[3]["n_lines_kept"] == 4 and not got[3]["keep"]  # lorem ipsum
+    assert got[4]["n_lines_kept"] == 3 and not got[4]["keep"]  # curly brace
+    # doc 5: NULL text -> one empty line, nothing kept, keep = False
+    assert got[5]["clean_text"] == "" and not got[5]["keep"]
+    assert got[5]["n_lines_total"] == 1
+
+
+def test_normalize_documents_canonical_form(spark):
+    from healthcare_data_harmonization_dataflow_spark.functions.text import (
+        normalize_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World! Call 555-1234 now."),
+            (2, "hello world call 0 now"),  # already canonical
+            (3, None),
+            (4, "HELLO world\t\ncall 42 NOW!!!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in normalize_documents(docs).collect()}
+    assert got[1]["norm_text"] == "hello world call 0 0 now"
+    assert got[2]["norm_text"] == "hello world call 0 now"
+    assert got[3]["norm_text"] == "" and got[3]["norm_hash"] is not None
+    assert got[4]["norm_text"] == "hello world call 0 now"
+    # case/punct/digit/space variants of the same content collide
+    assert got[2]["norm_hash"] == got[4]["norm_hash"]
+    assert got[1]["norm_hash"] != got[2]["norm_hash"]
+
+
+def test_corpus_stats_totals(spark):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        corpus_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "four five", "en", "web"),
+            (3, None, "en", "web"),  # NULL text: 0 tokens, doc counted
+            (4, "uno", "es", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["lang"], r["source"]): r for r in corpus_stats(docs).collect()
+    }
+    en = got[("en", "web")]
+    assert en["n_docs"] == 3 and en["total_tokens"] == 5
+    assert en["min_tokens"] == 0 and en["max_tokens"] == 3
+    assert en["total_chars"] == len("one two three") + len("four five")
+    es = got[("es", "web")]
+    assert es["n_docs"] == 1 and es["total_tokens"] == 1
+
+
+def test_bpe_pair_counts_reference_model(spark):
+    """Weighted adjacent-pair counts must match a pure-python BPE first
+    iteration over the same normalization."""
+    import re
+    from collections import Counter
+
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_pair_counts,
+    )
+
+    texts = [
+        "low lower lowest",
+        "new newer newest, NEW!",
+        "a ab abc low low",
+        None,
+        "x",  # single-char word -> no pairs
+    ]
+    wc = Counter()
+    for t in texts:
+        norm = re.sub(r"[!-/:-@\[-`{-~]", " ", (t or "").lower())
+        for w in norm.split():
+            wc[w] += 1
+    ref = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            ref[f"{w[i]} {w[i + 1]}"] += c
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = bpe_pair_counts(docs, top_k=1000).collect()
+    got = {r["pair"]: r["pair_count"] for r in rows}
+    assert got == dict(ref)
+    # rank is deterministic: count desc then pair asc
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["pair"], r["pair_count"]) for r in ordered] == expect
+    # 'lo' appears in low(x3 across docs) + lower + lowest -> sanity anchor
+    assert got["l o"] == 5
+
+
+def test_bpe_pair_counts_topk_plan_is_distributed(spark):
+    """The top-K must compile to TakeOrderedAndProject, not a global
+    single-partition window over every pair."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    plan = (
+        bpe_pair_counts(docs, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

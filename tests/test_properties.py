@@ -503,3 +503,147 @@ def test_pack_sequences_matches_reference_model(spark, chunks, seq_len, gsize):
             want[(d, c)] = (g, cum // seq_len, cum % seq_len)
             cum += n
     assert got == want
+
+
+# Final-wave curation ops under fuzz vs pure-python reference models:
+# rule-filter edge cases (empty lines, punctuation-only lines, NULL docs)
+# and the normalization pipeline's exact class definitions must hold on
+# arbitrary corpora — exactly the inputs golden tests don't sweep.
+
+_C4_PUNCT_OK = ".!?\""
+_c4_line = st.text("abcde jJ{.!?\"'", max_size=24)
+_c4_doc = st.one_of(
+    st.none(),
+    st.lists(_c4_line, max_size=6).map("\n".join),
+    st.builds(
+        lambda ls, inj: "\n".join(ls + [inj]),
+        st.lists(_c4_line, max_size=4),
+        st.sampled_from(
+            [
+                "lorem ipsum dolor sit amet here.",
+                "please enable javascript to continue now.",
+                "a b c d e.",
+                "this line has five good words.",
+            ]
+        ),
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_c4_doc, min_size=1, max_size=6))
+def test_c4_filters_matches_reference_model(spark, docs):
+    from healthcare_data_harmonization_dataflow_spark.operators.curation import (
+        c4_filters,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_lines_kept"],
+            r["n_lines_total"],
+            r["keep"],
+        )
+        for r in c4_filters(df, min_line_words=5, min_doc_lines=3).collect()
+    }
+    for i, d in rows:
+        raw = d or ""
+        lines = raw.split("\n")
+        kept = [
+            l
+            for l in lines
+            if l
+            and l[-1] in _C4_PUNCT_OK
+            and len([w for w in l.lower().split(" ") if w]) >= 5
+            and "javascript" not in l.lower()
+        ]
+        keep = (
+            len(kept) >= 3
+            and "lorem ipsum" not in raw.lower()
+            and "{" not in raw
+        )
+        assert got[i] == ("\n".join(kept), len(kept), len(lines), keep), (
+            i,
+            repr(d),
+        )
+
+
+# exact \p{Punct} set (the 32 ASCII punctuation chars Java and RE2 share)
+_PUNCT32 = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+_norm_text = st.one_of(
+    st.none(),
+    st.text("aB cD0123\t\n\r" + _PUNCT32, max_size=40),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_norm_text, min_size=1, max_size=8))
+def test_normalize_matches_reference_model(spark, docs):
+    import re
+
+    from healthcare_data_harmonization_dataflow_spark.functions.text import (
+        normalize_documents,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_documents(df).collect()
+    }
+    for i, d in rows:
+        s = (d or "").lower()
+        s = re.sub("[" + re.escape(_PUNCT32) + "]", " ", s)
+        s = re.sub(r"[0-9]+", "0", s)
+        s = re.sub(r"[ \t\n\r]+", " ", s).strip(" \t\n\r")
+        assert got[i] == s, (i, repr(d))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.text("ab c.1!x", max_size=30)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_pair_counts_matches_reference_model(spark, docs):
+    import re
+    from collections import Counter
+
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_pair_counts,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rows_out = bpe_pair_counts(df, top_k=10_000).collect()
+    got = {r["pair"]: r["pair_count"] for r in rows_out}
+
+    wc = Counter()
+    for _, d in rows:
+        norm = re.sub("[" + re.escape(_PUNCT32) + "]", " ", (d or "").lower())
+        for w in norm.split(" "):
+            if w:
+                wc[w] += 1
+    ref = Counter()
+    for w, c in wc.items():
+        for j in range(len(w) - 1):
+            ref[w[j] + " " + w[j + 1]] += c
+    assert got == dict(ref), (docs,)
