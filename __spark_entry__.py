@@ -1295,6 +1295,19 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Full BPE train + encode (operators/tokenize.py): 20 merges learned
+    distributed (the loop iterates over the Zipf-bounded (word, cnt)
+    vocab — pair-count agg, bounded 1-row argmax collect, codegen
+    literal-replace merge — never re-touching the corpus), then the corpus
+    is tokenized in ONE zero-shuffle codegen projection with the merge
+    chain inlined as literals. The oracle learns its merges from the same
+    parquet via the shared pure-python trainer (ivf_oracle_centroids
+    pattern); pytest independently pins Spark-trained == python-trained."""
+    merges = _tokenize.bpe_train(_docs(spark, sf_dir), n_merges=20)
+    return _tokenize.bpe_encode(_docs(spark, sf_dir), merges)
+
+
 def q_mixture_sample(spark, sf_dir):
     """sqrt-temperature data mixing (operators/curation.py): downsample to
     half the corpus with per-source shares proportional to sqrt(char
@@ -1604,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "corpus_stats": q_corpus_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2228,6 +2242,19 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": T.normalize_oracle_sql(),
         "corpus_stats": _curation.corpus_stats_oracle_sql(),
         "bpe_pair_counts": _tokenize.bpe_pair_counts_oracle_sql(top_k=50),
+        # data-derived merge literals, same contract as ann_ivf_topk: the
+        # oracle generator trains on the gated SF's parquet via the shared
+        # pure-python trainer; the Spark query trains distributed on the
+        # same data, and pytest pins the two trainers equal.
+        "bpe_encode": _tokenize.bpe_encode_oracle_sql(
+            _tokenize.bpe_oracle_merges(
+                os.environ.get(
+                    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+                )
+                + "/documents.parquet",
+                n_merges=20,
+            )
+        ),
         "dsir_sample": _curation.dsir_select_oracle_sql(
             _curation.dsir_oracle_weights(
                 os.environ.get(

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "corpus_stats",
     "bpe_pair_counts",
+    "bpe_encode",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -1778,3 +1778,107 @@ def test_bpe_pair_counts_topk_plan_is_distributed(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def _bpe_word_counts(texts):
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        norm = re.sub(r"[!-/:-@\[-`{-~]", " ", (t or "").lower())
+        for w in norm.split():
+            wc[w] += 1
+    return dict(wc)
+
+
+def test_bpe_train_matches_reference_model(spark):
+    """The distributed trainer (pair-count agg + bounded argmax collect +
+    codegen literal-replace merge per round) must learn the EXACT merge
+    sequence of the pure-python reference — including tie-breaks and the
+    single-pass left-to-right merge-application semantics."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest, NEW!",
+        "wider wide widest low",
+        None,
+        "aaaa aaaa x",  # adjacent-merge case: 'a a a a' -> 'aa aa'
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=12, checkpoint_every=4)
+    ref = bpe_train_reference(_bpe_word_counts(texts), n_merges=12)
+    assert got == ref
+    assert len(got) == 12
+
+
+def test_bpe_train_single_pass_merge_semantics():
+    """'aaaa' under merge (a,a): one left-to-right non-overlapping pass
+    gives [aa, aa] (NOT [aa, a, a]) — the padded double-space replace must
+    not starve adjacent occurrences of their shared boundary space."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_train_reference,
+    )
+
+    merges = bpe_train_reference({"aaaa": 1}, n_merges=3)
+    # round 1: (a,a) count 3; round 2: the two 'aa' symbols pair up
+    assert merges[0] == ("a", "a", 3)
+    assert merges[1] == ("aa", "aa", 1)
+
+
+def test_bpe_encode_lossless_and_merged(spark):
+    """Encoding is lossless (tokens re-concatenate to the normalized
+    words) and actually applies the learned merges (frequent words
+    compress below character count)."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low low lower lowest",
+        "new newer newest low",
+        None,
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    import re
+
+    for i, t in enumerate(texts):
+        norm = re.sub(r"[!-/:-@\[-`{-~]", " ", (t or "").lower())
+        assert out[i]["tokens"].replace(" ", "") == "".join(norm.split())
+        assert out[i]["n_tokens"] == len(out[i]["tokens"].split())
+    # 'low' dominates the corpus: after 8 merges it must be 1 token, so
+    # doc 0 (6 words) encodes to far fewer tokens than its 24 chars
+    assert out[0]["n_tokens"] < 15
+    assert " ".join(["low"] * 4) in out[0]["tokens"]
+
+
+def test_bpe_encode_plan_is_single_projection(spark):
+    """bpe_encode is one zero-shuffle codegen projection: no Exchange, no
+    Python eval in the executed plan."""
+    from healthcare_data_harmonization_dataflow_spark.operators.tokenize import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    plan = (
+        bpe_encode(docs, [("a", "l", 2), ("al", "p", 1)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
