@@ -1295,6 +1295,18 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Batch analogue of the streaming ingest-dedup stage
+    (streaming/dedup_stream.py, pytest e2e): even doc_ids are the
+    committed corpus, odd doc_ids are one arriving batch. Survivors =
+    within-batch exact collapse + anti-join on 16-byte md5 vs history;
+    near_dup counts MinHash-LSH bands shared with history (the
+    minhash_lsh_pairs decision rule). Text never shuffles; the history
+    probe joins on (band, sig-slice) exactly as the index join does in
+    the streaming stage."""
+    return D.incremental_dedup(_docs(spark, sf_dir))
+
+
 def q_bpe_encode(spark, sf_dir):
     """Full BPE train + encode (operators/tokenize.py): 20 merges learned
     distributed (the loop iterates over the Zipf-bounded (word, cnt)
@@ -1618,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_encode": q_bpe_encode,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2242,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": T.normalize_oracle_sql(),
         "corpus_stats": _curation.corpus_stats_oracle_sql(),
         "bpe_pair_counts": _tokenize.bpe_pair_counts_oracle_sql(top_k=50),
+        "dedup_incremental": D.incremental_dedup_oracle_sql(),
         # data-derived merge literals, same contract as ann_ivf_topk: the
         # oracle generator trains on the gated SF's parquet via the shared
         # pure-python trainer; the Spark query trains distributed on the

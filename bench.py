@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "corpus_stats",
     "bpe_pair_counts",
     "bpe_encode",
+    "dedup_incremental",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

@@ -290,6 +290,144 @@ def minhash_signature_oracle_sql() -> str:
     return f"SELECT doc_id,\n      {terms}\nFROM documents"
 
 
+def incremental_dedup(
+    docs: DataFrame,
+    history_pred: str = "doc_id % 2 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch analogue of the streaming ingest-dedup stage
+    (streaming/dedup_stream.py): rows matching ``history_pred`` are the
+    committed corpus, the rest are one arriving batch. Returns the
+    batch's SURVIVORS as ``(doc_id, n_band_matches, near_dup)``:
+
+    * exact duplicates WITHIN the batch collapse to the min-id canonical
+      (one hash-keyed shuffle, bounded by the batch);
+    * exact duplicates of history are dropped via a left-anti join on the
+      16-byte md5 key — text never moves;
+    * ``n_band_matches`` counts the MinHash LSH bands shared with ANY
+      history doc (the ``dedup_minhash_lsh_pairs`` decision rule), and
+      ``near_dup`` flags >=1 — the same semantics the streaming stage
+      commits, here on the DuckDB hard signal.
+
+    Docs with no tokens have null signatures and never band-match, in
+    both engines."""
+    history = docs.filter(F.expr(history_pred))
+    incoming = docs.filter(~F.expr(history_pred))
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("ch"),
+    )
+    w = Window.partitionBy("ch").orderBy(F.col("doc_id").asc())
+    keep = (
+        inc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    hist_hashes = history.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("ch")
+    ).distinct()
+    fresh = keep.join(hist_hashes, "ch", "left_anti").select("doc_id")
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig = minhash_signature(docs, text_col=text_col, id_col=id_col)
+    bands = sig.filter(F.col("mh0").isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").alias(f"v{r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.*")
+    val_cols = ["band"] + [f"v{r}" for r in range(rows_per_band)]
+    hist_bands = (
+        bands.join(
+            history.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        .select(*val_cols)
+        .distinct()
+    )
+    matches = (
+        bands.join(fresh, "doc_id")
+        .join(hist_bands, val_cols, "inner")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band").cast("int").alias("n_band_matches"))
+    )
+    return (
+        fresh.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_band_matches", F.lit(0)).alias("n_band_matches"),
+        )
+        .withColumn("near_dup", F.col("n_band_matches") > 0)
+    )
+
+
+def incremental_dedup_oracle_sql(
+    history_pred: str = "doc_id % 2 = 0",
+) -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {vals} FROM sig WHERE mh0 IS NOT NULL".format(
+            b=b,
+            vals=", ".join(
+                f"mh{b * rows_per_band + r} AS v{r}"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    val_keys = ", ".join(["band"] + [f"v{r}" for r in range(rows_per_band)])
+    return f"""
+    WITH sig AS ({minhash_signature_oracle_sql()}),
+    inc AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS ch
+      FROM documents WHERE NOT ({history_pred})
+    ),
+    keep AS (
+      SELECT doc_id, ch FROM (
+        SELECT doc_id, ch,
+               row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+        FROM inc
+      ) WHERE rn = 1
+    ),
+    hist AS (
+      SELECT DISTINCT md5(coalesce(text, '')) AS ch
+      FROM documents WHERE {history_pred}
+    ),
+    fresh AS (
+      SELECT doc_id FROM keep WHERE ch NOT IN (SELECT ch FROM hist)
+    ),
+    bands AS ({band_rows}),
+    histb AS (
+      SELECT DISTINCT {val_keys}
+      FROM bands JOIN (
+        SELECT doc_id FROM documents WHERE {history_pred}
+      ) h USING (doc_id)
+    ),
+    m AS (
+      SELECT b.doc_id,
+             CAST(count(DISTINCT b.band) AS INT) AS n_band_matches
+      FROM bands b
+      JOIN fresh f USING (doc_id)
+      JOIN histb USING ({val_keys})
+      GROUP BY b.doc_id
+    )
+    SELECT f.doc_id,
+           coalesce(m.n_band_matches, 0) AS n_band_matches,
+           coalesce(m.n_band_matches, 0) > 0 AS near_dup
+    FROM fresh f LEFT JOIN m USING (doc_id)
+    """
+
+
 # ------------------------------------------------------------------ simhash
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc 32-bit SimHash, per-row (no shuffle). Bit j is set when more

@@ -1,0 +1,152 @@
+"""Streaming incremental dedup (streaming/dedup_stream.py): exact dedup
+within-batch and vs committed history, LSH near-dup flagging vs history,
+exactly-once under checkpoint replay."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_harmonization_dataflow_spark.streaming.dedup_stream import (
+    StreamingDedupPipeline,
+    document_index_rows,
+)
+
+# MinHash words are SET-semantics (array_distinct): reordering a doc's
+# words keeps the signature identical (all 4 bands match -> deterministic
+# near-dup) while md5(text) differs (not an exact dup).
+DOC3 = "alpha beta gamma delta epsilon zeta eta theta"
+DOC3_REORDERED = "theta eta zeta epsilon delta gamma beta alpha"
+
+
+def _write_batches(spark, root):
+    """Two parquet 'arrival' files with staggered mtimes -> two ordered
+    micro-batches under maxFilesPerTrigger=1."""
+    inp = os.path.join(root, "in")
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # in-batch dup
+        (3, DOC3),
+        (4, "completely different unique content here"),
+    ]
+    b2 = [
+        (5, "the quick brown fox jumps over the lazy dog"),  # dup of history
+        (6, DOC3_REORDERED),  # near-dup of doc 3 (same word set)
+        (7, "another novel document with fresh words"),
+    ]
+    import shutil
+
+    os.makedirs(inp, exist_ok=True)
+    for i, rows in enumerate([b1, b2]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = os.path.join(root, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(inp, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+    return inp
+
+
+def _run(pipe, spark, inp, ckpt):
+    q = pipe.run(spark, inp, ckpt)
+    q.awaitTermination()
+
+
+def test_document_index_rows_anchor_and_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "")], "doc_id long, text string"
+    )
+    rows = document_index_rows(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # tokenful doc: 1 anchor + 4 band rows; empty doc: anchor only (its
+    # exact-dedup hash still lands in the index)
+    assert sorted(r["band"] for r in by_doc[1]) == [-1, 0, 1, 2, 3]
+    assert [r["band"] for r in by_doc[2]] == [-1]
+    assert all(r["content_hash"] for r in rows)
+
+
+def test_streaming_dedup_e2e(spark, tmp_path):
+    inp = _write_batches(spark, str(tmp_path))
+    pipe = StreamingDedupPipeline(
+        out_dir=str(tmp_path / "out"), max_files_per_trigger=1
+    )
+    _run(pipe, spark, inp, str(tmp_path / "ckpt"))
+
+    docs = {r["doc_id"]: r for r in pipe.documents(spark).collect()}
+    # batch 1: 2 collapsed into 1 (min id wins); batch 2: 5 dropped vs
+    # history, 6 admitted-but-flagged, 7 admitted clean
+    assert sorted(docs) == [1, 3, 4, 6, 7]
+    assert docs[6]["near_dup"] and docs[6]["n_band_matches"] == 4
+    assert not docs[1]["near_dup"] and not docs[7]["near_dup"]
+    assert docs[3]["n_band_matches"] == 0  # history was empty at batch 1
+
+    # index holds survivors only (1 anchor + 4 bands each, all tokenful)
+    idx = pipe.index(spark)
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 3, 4, 6, 7]
+    assert idx.count() == 5 * 5
+
+
+def test_streaming_dedup_replay_is_exactly_once(spark, tmp_path):
+    inp = _write_batches(spark, str(tmp_path))
+    out = str(tmp_path / "out")
+    pipe = StreamingDedupPipeline(out_dir=out, max_files_per_trigger=1)
+    _run(pipe, spark, inp, str(tmp_path / "ckpt"))
+    before = sorted(
+        tuple(r) for r in pipe.documents(spark).select("doc_id").collect()
+    )
+    n_idx = pipe.index(spark).count()
+
+    # lose the checkpoint entirely: the restarted query replays every
+    # epoch with the same batch ids — the batchId commit guard must make
+    # the re-run a no-op (no re-admitted docs, no duplicate index rows)
+    pipe2 = StreamingDedupPipeline(out_dir=out, max_files_per_trigger=1)
+    _run(pipe2, spark, inp, str(tmp_path / "ckpt2"))
+    after = sorted(
+        tuple(r) for r in pipe2.documents(spark).select("doc_id").collect()
+    )
+    assert after == before
+    assert pipe2.index(spark).count() == n_idx
+
+
+def test_streaming_dedup_drop_near(spark, tmp_path):
+    inp = _write_batches(spark, str(tmp_path))
+    pipe = StreamingDedupPipeline(
+        out_dir=str(tmp_path / "out"),
+        max_files_per_trigger=1,
+        drop_near=True,
+    )
+    _run(pipe, spark, inp, str(tmp_path / "ckpt"))
+    docs = {r["doc_id"]: r for r in pipe.documents(spark).collect()}
+    assert sorted(docs) == [1, 3, 4, 7]  # 6 dropped as near-dup of 3
+    # dropped near-dup contributes nothing to the index either (only
+    # SURVIVORS' bands become history)
+    assert sorted(
+        r["doc_id"]
+        for r in pipe.index(spark).select("doc_id").distinct().collect()
+    ) == [1, 3, 4, 7]
+
+
+def test_streaming_dedup_within_batch_near_dups_both_admitted(
+    spark, tmp_path
+):
+    """The stream-vs-history boundary: near-dups arriving in the SAME
+    batch are both admitted (intra-corpus pairs belong to the batch
+    operators), and both enter the index."""
+    inp = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        [(1, DOC3), (2, DOC3_REORDERED)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(inp)
+    pipe = StreamingDedupPipeline(out_dir=str(tmp_path / "out"))
+    _run(pipe, spark, inp, str(tmp_path / "ckpt"))
+    docs = {r["doc_id"]: r for r in pipe.documents(spark).collect()}
+    assert sorted(docs) == [1, 2]
+    assert not docs[1]["near_dup"] and not docs[2]["near_dup"]
