@@ -1882,3 +1882,54 @@ def test_bpe_encode_plan_is_single_projection(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_bucketed_join_and_agg_have_no_exchange(spark, tmp_path):
+    """Same-spec bucketed tables join and aggregate on the bucket key
+    with ZERO Exchange — the co-located layout that keeps a 10^12-turn
+    fact table off the network (sources/bucketed.py)."""
+    from healthcare_data_harmonization_dataflow_spark.sources.bucketed import (
+        colocated_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(f"c{i % 7}", i, f"t{i}") for i in range(100)],
+        "conv_id string, turn_idx int, text string",
+    )
+    right = spark.createDataFrame(
+        [(f"c{i % 7}", f"tool{i}") for i in range(40)],
+        "conv_id string, tool string",
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    write_bucketed(
+        left, "bt_left", 8, ["conv_id"], sort_cols=["conv_id", "turn_idx"],
+        path=str(tmp_path / "bt_left"),
+    )
+    write_bucketed(
+        right, "bt_right", 8, ["conv_id"], path=str(tmp_path / "bt_right")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "bt_left", "bt_right", ["conv_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == sum(
+            (100 // 7 + (1 if i < 100 % 7 else 0))
+            * (40 // 7 + (1 if i < 40 % 7 else 0))
+            for i in range(7)
+        )
+        from pyspark.sql import functions as F
+
+        agg = read_bucketed(spark, "bt_left").groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
