@@ -684,6 +684,32 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup report every corpus
+    audit starts from: (cluster_size, n_clusters). Components over the
+    VERIFIED >=0.9 ngram-Jaccard edges (the corpus_curate dup rule, not
+    the raw LSH band graph — which on this template-heavy corpus is one
+    giant component and an empty report), then two map-side-combinable
+    groupBys over (id, label) longs; the second runs on the cluster
+    table, already thousands of times smaller than the corpus."""
+    from healthcare_data_harmonization_dataflow_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labels = connected_components(
+        D.ngram_jaccard_pairs(docs, threshold=0.9),
+        nodes=docs.select("doc_id"),
+        edges_unique=True,
+    )
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
 def q_corpus_curate(spark, sf_dir):
     """The end-to-end curation composition a training-data pipeline runs
     before tokenization: language gate (predicted 'en'), quality gates
@@ -1631,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_encode": q_bpe_encode,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
 
 
@@ -2256,6 +2283,15 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _curation.corpus_stats_oracle_sql(),
         "bpe_pair_counts": _tokenize.bpe_pair_counts_oracle_sql(top_k=50),
         "dedup_incremental": D.incremental_dedup_oracle_sql(),
+        "dedup_cluster_sizes": f"""
+            WITH cc AS ({G.connected_components_oracle_sql(D.ngram_jaccard_oracle_sql(threshold=0.9))}),
+            per AS (
+              SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cc GROUP BY cluster
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM per GROUP BY cluster_size
+        """,
         # data-derived merge literals, same contract as ann_ivf_topk: the
         # oracle generator trains on the gated SF's parquet via the shared
         # pure-python trainer; the Spark query trains distributed on the
