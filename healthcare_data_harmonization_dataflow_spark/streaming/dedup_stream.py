@@ -29,9 +29,14 @@ Semantics (documented, pytest-pinned):
 * Exact duplicates of HISTORY are dropped; exact duplicates WITHIN a
   batch collapse to the min doc_id (deterministic canonical).
 * Near-duplicate = shares ≥1 MinHash LSH band with any committed doc —
-  the same decision rule as ``dedup_minhash_lsh_pairs``. Near-dups of
-  history are flagged (``near_dup``/``n_band_matches``) and admitted by
-  default, or dropped with ``drop_near=True``. Near-dup pairs WITHIN one
+  the same decision rule as ``dedup_minhash_lsh_pairs``. With
+  ``verify_threshold`` set, band matches are only CANDIDATES and the
+  flag additionally requires verified distinct-word Jaccard >= the
+  threshold against a band-matched committed doc (LSH false positives
+  stay unflagged — the verify stage corpus_curate applies to batch
+  edges). Near-dups of history are flagged
+  (``near_dup``/``n_band_matches``) and admitted by default, or dropped
+  with ``drop_near=True``. Near-dup pairs WITHIN one
   batch are both admitted (the batch operators own intra-corpus pairs;
   this stage owns the stream-vs-history boundary) — their bands enter
   the index, so later batches see them.
@@ -116,6 +121,13 @@ class StreamingDedupPipeline:
     text_col: str = "text"
     id_col: str = "doc_id"
     drop_near: bool = False
+    #: when set, a band match alone is only a CANDIDATE: ``near_dup``
+    #: additionally requires distinct-word Jaccard >= this vs at least one
+    #: band-matched committed doc (the verify stage of production MinHash
+    #: dedup — same rule corpus_curate applies to batch edges). LSH false
+    #: positives (band collision, low true similarity) stay admitted and
+    #: unflagged; ``n_band_matches`` still reports the raw candidates.
+    verify_threshold: "float | None" = None
     max_files_per_trigger: "int | None" = None
     commit_mode: str = "rename"
 
@@ -197,10 +209,79 @@ class StreamingDedupPipeline:
                 "n_band_matches"
             ),
         )
-        out = out.withColumn("near_dup", F.col("n_band_matches") > 0)
+        if self.verify_threshold is None:
+            out = out.withColumn("near_dup", F.col("n_band_matches") > 0)
+        else:
+            out = self._verify(out, probe, index)
         if self.drop_near:
             out = out.filter(~F.col("near_dup"))
         return out
+
+    def _verify(
+        self, out: DataFrame, probe: DataFrame, index: DataFrame
+    ) -> DataFrame:
+        """Exact-similarity verification of band candidates: join each
+        candidate (fresh, hist) doc pair — via the shared (band,
+        band_hash) bucket — to the committed survivors' text and keep
+        ``near_dup`` only where distinct-word Jaccard >= the threshold.
+        Only candidate PAIRS (ids + their two texts) move, never the
+        corpus: at scale the candidate set is the LSH output, already
+        bounded by bucket sizes."""
+        spark = out.sparkSession
+        words = (
+            "array_distinct(filter(split(lower(coalesce({col}, '')), ' '),"
+            " w -> w != ''))"
+        )
+        cand = (
+            probe.join(
+                index.filter(F.col("band") >= 0).select(
+                    "band",
+                    "band_hash",
+                    F.col("doc_id").alias("_hist_id"),
+                ),
+                ["band", "band_hash"],
+                "inner",
+            )
+            .select("doc_id", "_hist_id")
+            .distinct()
+        )
+        if not self.docs_sink.committed_batches():
+            # no committed history yet (first batch): read_committed's
+            # no-history fallback has a placeholder schema; there is
+            # nothing to verify against
+            hist_docs = spark.createDataFrame(
+                [], "_hist_id long, _hw array<string>"
+            )
+        else:
+            hist_docs = self.docs_sink.read_committed(spark).select(
+                F.col(self.id_col).alias("_hist_id"),
+                F.expr(words.format(col=self.text_col)).alias("_hw"),
+            )
+        fresh_words = out.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.expr(words.format(col=self.text_col)).alias("_fw"),
+        )
+        verified = (
+            cand.join(hist_docs, "_hist_id")
+            .join(fresh_words, "doc_id")
+            .withColumn(
+                "_jac",
+                F.expr(
+                    "size(array_intersect(_fw, _hw)) / "
+                    "greatest(size(array_union(_fw, _hw)), 1)"
+                ),
+            )
+            .filter(F.col("_jac") >= float(self.verify_threshold))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_verified", F.lit(True))
+        )
+        return out.join(
+            verified, out[self.id_col] == verified.doc_id, "left"
+        ).select(
+            *[out[c] for c in out.columns],
+            F.coalesce(verified._verified, F.lit(False)).alias("near_dup"),
+        )
 
     def _index_rows(self, staged: DataFrame) -> DataFrame:
         surv = self._survivors(staged)

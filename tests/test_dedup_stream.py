@@ -135,6 +135,83 @@ def test_streaming_dedup_drop_near(spark, tmp_path):
     ) == [1, 3, 4, 7]
 
 
+def _ref_minhash(words):
+    """Pure-python replica of operators/dedup.py minhash_signature."""
+    import hashlib
+
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        MINHASH_K,
+        MINHASH_P,
+        _RNG_A,
+        _RNG_B,
+    )
+
+    hs = [
+        int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for w in set(words)
+    ]
+    return [
+        min((_RNG_A[i] * h + _RNG_B[i]) % MINHASH_P for h in hs)
+        for i in range(MINHASH_K)
+    ]
+
+
+def _bands(sig):
+    return [tuple(sig[2 * b : 2 * b + 2]) for b in range(4)]
+
+
+def test_streaming_dedup_verify_threshold_kills_false_positives(
+    spark, tmp_path
+):
+    """With verify_threshold: a genuine near-dup (same word set, J=1.0)
+    stays flagged; an LSH FALSE POSITIVE (band collision from a superset
+    doc, true Jaccard 0.25) keeps its candidate count but loses the
+    flag."""
+    base_words = DOC3.split()
+    # deterministic search: pad DOC3's word set to 4x its size until some
+    # band's two minhashes survive the padding (minima stay in the
+    # original set) — a guaranteed band match at Jaccard 8/32 = 0.25
+    base_bands = set(_bands(_ref_minhash(base_words)))
+    fp_words = None
+    for k in range(500):
+        cand = base_words + [f"fill{k}w{j}" for j in range(24)]
+        if set(_bands(_ref_minhash(cand))) & base_bands:
+            fp_words = cand
+            break
+    assert fp_words is not None, "no band-colliding superset in 500 tries"
+
+    inp = os.path.join(str(tmp_path), "in")
+    os.makedirs(inp)
+    import shutil
+
+    for i, rows in enumerate(
+        [
+            [(1, DOC3)],
+            [(2, DOC3_REORDERED), (3, " ".join(fp_words))],
+        ]
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        st = os.path.join(str(tmp_path), f"s{i}")
+        df.coalesce(1).write.parquet(st)
+        f = next(x for x in os.listdir(st) if x.endswith(".parquet"))
+        dst = os.path.join(inp, f"b{i}.parquet")
+        shutil.move(os.path.join(st, f), dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+
+    pipe = StreamingDedupPipeline(
+        out_dir=str(tmp_path / "out"),
+        max_files_per_trigger=1,
+        verify_threshold=0.9,
+    )
+    _run(pipe, spark, inp, str(tmp_path / "ckpt"))
+    docs = {r["doc_id"]: r for r in pipe.documents(spark).collect()}
+    assert sorted(docs) == [1, 2, 3]
+    assert docs[2]["near_dup"] and docs[2]["n_band_matches"] == 4
+    assert docs[3]["n_band_matches"] > 0  # the band candidate fired...
+    assert not docs[3]["near_dup"]  # ...but verification rejected it
+
+
 def test_streaming_dedup_within_batch_near_dups_both_admitted(
     spark, tmp_path
 ):
