@@ -1333,6 +1333,16 @@ def q_dedup_incremental(spark, sf_dir):
     return D.incremental_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_incremental_verified(spark, sf_dir):
+    """dedup_incremental with the verification stage the streaming
+    pipeline's verify_threshold applies: a band match is only a
+    CANDIDATE; near_dup requires distinct-word Jaccard >= 0.9 against a
+    band-matched history doc (|A∩B| / (|A|+|B|-|A∩B|), one
+    correctly-rounded division — bit-equal cross-engine). Only candidate
+    pairs' ids and word arrays move, never the corpus."""
+    return D.incremental_dedup(_docs(spark, sf_dir), verify_threshold=0.9)
+
+
 def q_bpe_encode(spark, sf_dir):
     """Full BPE train + encode (operators/tokenize.py): 20 merges learned
     distributed (the loop iterates over the Zipf-bounded (word, cnt)
@@ -1657,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_encode": q_bpe_encode,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_verified": q_dedup_incremental_verified,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
     }
 
@@ -2283,6 +2294,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _curation.corpus_stats_oracle_sql(),
         "bpe_pair_counts": _tokenize.bpe_pair_counts_oracle_sql(top_k=50),
         "dedup_incremental": D.incremental_dedup_oracle_sql(),
+        "dedup_incremental_verified": D.incremental_dedup_oracle_sql(
+            verify_threshold=0.9
+        ),
         "dedup_cluster_sizes": f"""
             WITH cc AS ({G.connected_components_oracle_sql(D.ngram_jaccard_oracle_sql(threshold=0.9))}),
             per AS (

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "bpe_encode",
     "dedup_incremental",
+    "dedup_incremental_verified",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",

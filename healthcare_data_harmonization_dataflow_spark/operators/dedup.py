@@ -295,6 +295,7 @@ def incremental_dedup(
     history_pred: str = "doc_id % 2 = 0",
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_threshold: "float | None" = None,
 ) -> DataFrame:
     """Batch analogue of the streaming ingest-dedup stage
     (streaming/dedup_stream.py): rows matching ``history_pred`` are the
@@ -309,6 +310,12 @@ def incremental_dedup(
       history doc (the ``dedup_minhash_lsh_pairs`` decision rule), and
       ``near_dup`` flags >=1 — the same semantics the streaming stage
       commits, here on the DuckDB hard signal.
+    * With ``verify_threshold``, ``near_dup`` additionally requires
+      distinct-word Jaccard >= the threshold against a band-matched
+      history doc (the streaming stage's ``verify_threshold``; LSH false
+      positives keep their candidate count but lose the flag). The
+      Jaccard is an int/int division — one correctly-rounded IEEE op,
+      bit-equal cross-engine.
 
     Docs with no tokens have null signatures and never band-match, in
     both engines."""
@@ -361,18 +368,65 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.countDistinct("band").cast("int").alias("n_band_matches"))
     )
-    return (
-        fresh.join(matches, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_band_matches", F.lit(0)).alias("n_band_matches"),
+    out = fresh.join(matches, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_band_matches", F.lit(0)).alias("n_band_matches"),
+    )
+    if verify_threshold is None:
+        return out.withColumn("near_dup", F.col("n_band_matches") > 0)
+    # verification: candidate (fresh, hist) pairs via the shared band
+    # bucket, then distinct-word Jaccard — only candidate pairs' ids and
+    # word arrays move, never the corpus
+    hist_band_docs = (
+        bands.join(
+            history.select(F.col(id_col).alias("doc_id")), "doc_id"
         )
-        .withColumn("near_dup", F.col("n_band_matches") > 0)
+        .select(F.col("doc_id").alias("_hist_id"), *val_cols)
+        .distinct()
+    )
+    cand = (
+        bands.join(fresh.select("doc_id"), "doc_id")
+        .join(hist_band_docs, val_cols, "inner")
+        .select("doc_id", "_hist_id")
+        .distinct()
+    )
+    words_of = F.expr(
+        _SPARK_WORDS.replace("text", f"coalesce({text_col}, '')")
+    )
+    fresh_words = docs.select(
+        F.col(id_col).alias("doc_id"), words_of.alias("_fw")
+    )
+    hist_words = docs.select(
+        F.col(id_col).alias("_hist_id"), words_of.alias("_hw")
+    )
+    verified = (
+        cand.join(fresh_words, "doc_id")
+        .join(hist_words, "_hist_id")
+        .filter(
+            # |A∩B| / (|A| + |B| - |A∩B|): arithmetic union size (arrays
+            # are distinct) — the exact arithmetic shape the oracle uses,
+            # one correctly-rounded division each side
+            F.expr(
+                "size(array_intersect(_fw, _hw)) / "
+                "greatest(size(_fw) + size(_hw) "
+                "- size(array_intersect(_fw, _hw)), 1) >= "
+                f"{float(verify_threshold)!r}"
+            )
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_v", F.lit(True))
+    )
+    return out.join(verified, "doc_id", "left").select(
+        "doc_id",
+        "n_band_matches",
+        F.coalesce("_v", F.lit(False)).alias("near_dup"),
     )
 
 
 def incremental_dedup_oracle_sql(
     history_pred: str = "doc_id % 2 = 0",
+    verify_threshold: "float | None" = None,
 ) -> str:
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_rows = " UNION ALL ".join(
@@ -386,6 +440,70 @@ def incremental_dedup_oracle_sql(
         for b in range(MINHASH_BANDS)
     )
     val_keys = ", ".join(["band"] + [f"v{r}" for r in range(rows_per_band)])
+    if verify_threshold is not None:
+        dw = (
+            "list_distinct(list_filter(string_split(lower("
+            "coalesce(text, '')), ' '), w -> w != ''))"
+        )
+        return f"""
+    WITH sig AS ({minhash_signature_oracle_sql()}),
+    inc AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS ch
+      FROM documents WHERE NOT ({history_pred})
+    ),
+    keep AS (
+      SELECT doc_id, ch FROM (
+        SELECT doc_id, ch,
+               row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+        FROM inc
+      ) WHERE rn = 1
+    ),
+    hist AS (
+      SELECT DISTINCT md5(coalesce(text, '')) AS ch
+      FROM documents WHERE {history_pred}
+    ),
+    fresh AS (
+      SELECT doc_id FROM keep WHERE ch NOT IN (SELECT ch FROM hist)
+    ),
+    bands AS ({band_rows}),
+    histbd AS (
+      SELECT doc_id AS hist_id, {val_keys}
+      FROM bands JOIN (
+        SELECT doc_id FROM documents WHERE {history_pred}
+      ) h USING (doc_id)
+    ),
+    m AS (
+      SELECT b.doc_id,
+             CAST(count(DISTINCT b.band) AS INT) AS n_band_matches
+      FROM bands b
+      JOIN fresh f USING (doc_id)
+      JOIN (SELECT DISTINCT {val_keys} FROM histbd) hb USING ({val_keys})
+      GROUP BY b.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id, h.hist_id
+      FROM bands b
+      JOIN fresh f USING (doc_id)
+      JOIN histbd h USING ({val_keys})
+    ),
+    dwords AS (SELECT doc_id, {dw} AS w FROM documents),
+    ver AS (
+      SELECT DISTINCT c.doc_id
+      FROM cand c
+      JOIN dwords a ON a.doc_id = c.doc_id
+      JOIN dwords b2 ON b2.doc_id = c.hist_id
+      WHERE len(list_intersect(a.w, b2.w))
+            / greatest(len(a.w) + len(b2.w)
+                       - len(list_intersect(a.w, b2.w)), 1)
+            >= {float(verify_threshold)!r}
+    )
+    SELECT f.doc_id,
+           coalesce(m.n_band_matches, 0) AS n_band_matches,
+           (v.doc_id IS NOT NULL) AS near_dup
+    FROM fresh f
+    LEFT JOIN m USING (doc_id)
+    LEFT JOIN ver v ON v.doc_id = f.doc_id
+    """
     return f"""
     WITH sig AS ({minhash_signature_oracle_sql()}),
     inc AS (
