@@ -212,6 +212,56 @@ def test_streaming_dedup_verify_threshold_kills_false_positives(
     assert not docs[3]["near_dup"]  # ...but verification rejected it
 
 
+def test_streaming_matches_batch_analogue_on_real_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The streaming stage and its oracle-gated batch analogue
+    (operators/dedup.py incremental_dedup) implement the SAME semantics:
+    stream history (even doc_ids) as batch 1 and incoming (odd) as batch
+    2, and the incoming survivors' (doc_id, n_band_matches, near_dup)
+    must match incremental_dedup on the union — including under
+    verification."""
+    import shutil
+
+    from healthcare_data_harmonization_dataflow_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inp = os.path.join(str(tmp_path), "in")
+    os.makedirs(inp)
+    for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        st = os.path.join(str(tmp_path), f"s{i}")
+        docs.filter(pred).coalesce(1).write.parquet(st)
+        f = next(x for x in os.listdir(st) if x.endswith(".parquet"))
+        dst = os.path.join(inp, f"b{i}.parquet")
+        shutil.move(os.path.join(st, f), dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+
+    for thr in (None, 0.9):
+        out = str(tmp_path / f"out{thr}")
+        pipe = StreamingDedupPipeline(
+            out_dir=out, max_files_per_trigger=1, verify_threshold=thr
+        )
+        _run(pipe, spark, inp, str(tmp_path / f"ckpt{thr}"))
+        streamed = {
+            r["doc_id"]: (r["n_band_matches"], r["near_dup"])
+            for r in pipe.documents(spark)
+            .filter("doc_id % 2 = 1")
+            .collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_band_matches"], r["near_dup"])
+            for r in incremental_dedup(
+                docs, verify_threshold=thr
+            ).collect()
+        }
+        assert streamed == batch, f"divergence at verify_threshold={thr}"
+
+
 def test_streaming_dedup_within_batch_near_dups_both_admitted(
     spark, tmp_path
 ):
