@@ -684,6 +684,54 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_lsh_fp_rate(spark, sf_dir):
+    """LSH banding quality report — one row: candidate pair count,
+    >=0.9-verified pair count, and the false-positive rate in ppm
+    (integer floor-division, bit-exact cross-engine). The diagnostic
+    that justifies a banding scheme before a 100 TB run: candidates are
+    the existing band-join output; verification joins only candidate
+    pairs' word arrays (|A∩B|/(|A|+|B|-|A∩B|), one correctly-rounded
+    division), never the corpus."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs)
+    words = F.expr(
+        "array_distinct(filter(split(lower(coalesce(text, '')), ' '), "
+        "w -> w != ''))"
+    )
+    dw = docs.select(F.col("doc_id"), words.alias("w"))
+    verified = (
+        pairs.join(
+            dw.select(F.col("doc_id").alias("doc1"), F.col("w").alias("w1")),
+            "doc1",
+        )
+        .join(
+            dw.select(F.col("doc_id").alias("doc2"), F.col("w").alias("w2")),
+            "doc2",
+        )
+        .withColumn(
+            "v",
+            F.expr(
+                "size(array_intersect(w1, w2)) / greatest(size(w1) + "
+                "size(w2) - size(array_intersect(w1, w2)), 1) >= 0.9"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("v"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_verified_pairs"),
+        )
+    )
+    return verified.select(
+        "n_candidate_pairs",
+        "n_verified_pairs",
+        F.expr(
+            "((n_candidate_pairs - n_verified_pairs) * 1000000L) "
+            "div greatest(n_candidate_pairs, 1)"
+        ).alias("fp_ppm"),
+    )
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Duplicate-cluster size histogram — the dedup report every corpus
     audit starts from: (cluster_size, n_clusters). Components over the
@@ -1669,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_verified": q_dedup_incremental_verified,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "lsh_fp_rate": q_lsh_fp_rate,
     }
 
 
@@ -2297,6 +2346,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_verified": D.incremental_dedup_oracle_sql(
             verify_threshold=0.9
         ),
+        "lsh_fp_rate": f"""
+            WITH pairs AS ({D.minhash_lsh_pairs_oracle_sql()}),
+            dwords AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split(lower(
+                       coalesce(text, '')), ' '), w -> w != '')) AS w
+              FROM documents
+            ),
+            j AS (
+              SELECT (len(list_intersect(a.w, b.w))
+                      / greatest(len(a.w) + len(b.w)
+                                 - len(list_intersect(a.w, b.w)), 1)
+                      >= 0.9) AS v
+              FROM pairs p
+              JOIN dwords a ON a.doc_id = p.doc1
+              JOIN dwords b ON b.doc_id = p.doc2
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                     CAST(coalesce(sum(CASE WHEN v THEN 1 ELSE 0 END), 0)
+                          AS BIGINT) AS n_verified_pairs
+              FROM j
+            )
+            SELECT n_candidate_pairs, n_verified_pairs,
+                   CAST(((n_candidate_pairs - n_verified_pairs) * 1000000)
+                        // greatest(n_candidate_pairs, 1) AS BIGINT)
+                     AS fp_ppm
+            FROM agg
+        """,
         "dedup_cluster_sizes": f"""
             WITH cc AS ({G.connected_components_oracle_sql(D.ngram_jaccard_oracle_sql(threshold=0.9))}),
             per AS (

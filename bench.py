@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "dedup_incremental",
     "dedup_incremental_verified",
+    "lsh_fp_rate",
     "multimodal_features",
     "cep_dangling_assistant",
     "cep_error_burst",
