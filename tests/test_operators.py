@@ -1931,5 +1931,13 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, tmp_path):
         )
         aplan = agg._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in aplan, aplan
+        # one side bucketed: ONLY the unbucketed (small) side shuffles to
+        # the bucket layout; the fact table stays put
+        plain = spark.createDataFrame(
+            [(f"c{i % 7}", i) for i in range(30)], "conv_id string, x int"
+        )
+        half = read_bucketed(spark, "bt_left").join(plain, "conv_id")
+        hplan = half._jdf.queryExecution().executedPlan().toString()
+        assert hplan.count("Exchange hashpartitioning") == 1, hplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
