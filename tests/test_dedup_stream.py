@@ -212,6 +212,59 @@ def test_streaming_dedup_verify_threshold_kills_false_positives(
     assert not docs[3]["near_dup"]  # ...but verification rejected it
 
 
+def test_streaming_dedup_crash_between_routes_heals_on_restart(
+    spark, tmp_path
+):
+    """Fault injection at the FanOutSink's weakest point: the docs route
+    commits batch 1, then the process dies before the index route. The
+    restart must (a) not re-admit or duplicate docs, and (b) write the
+    index rows for EXACTLY the docs the crashed attempt committed — the
+    determinism the selectors claim (same staged bytes + same committed
+    markers -> same rows)."""
+    inp = _write_batches(spark, str(tmp_path))
+    out = str(tmp_path / "out")
+    pipe = StreamingDedupPipeline(out_dir=out, max_files_per_trigger=1)
+
+    orig = type(pipe.index_sink).write_batch
+    calls = {"n": 0}
+
+    def failing(self_sink, df, batch_id):
+        if self_sink is pipe.index_sink and batch_id == 1:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                df.count()  # force the plan once, like a mid-write crash
+                raise RuntimeError("injected crash before index commit")
+        return orig(self_sink, df, batch_id)
+
+    type(pipe.index_sink).write_batch = failing
+    try:
+        q = pipe.run(spark, inp, str(tmp_path / "ckpt"))
+        with pytest.raises(Exception, match="injected crash"):
+            q.awaitTermination()
+    finally:
+        type(pipe.index_sink).write_batch = orig
+
+    # batch 1's docs are committed, its index is not
+    assert 1 in pipe.docs_sink.committed_batches()
+    assert 1 not in pipe.index_sink.committed_batches()
+
+    # restart from the same checkpoint: the replayed epoch re-stages
+    # nothing new, skips the committed docs route, and completes the
+    # index route from the SAME staged batch
+    pipe2 = StreamingDedupPipeline(out_dir=out, max_files_per_trigger=1)
+    pipe2.run(spark, inp, str(tmp_path / "ckpt")).awaitTermination()
+
+    docs = {r["doc_id"]: r for r in pipe2.documents(spark).collect()}
+    assert sorted(docs) == [1, 3, 4, 6, 7]
+    assert docs[6]["near_dup"] and not docs[7]["near_dup"]
+    idx_ids = sorted(
+        r["doc_id"]
+        for r in pipe2.index(spark).select("doc_id").distinct().collect()
+    )
+    assert idx_ids == [1, 3, 4, 6, 7]  # index == exactly the committed docs
+    assert pipe2.index(spark).count() == 5 * 5  # and no duplicate rows
+
+
 def test_streaming_matches_batch_analogue_on_real_corpus(
     spark, sf_dir, tmp_path
 ):
