@@ -223,6 +223,59 @@ def bench_streaming(spark, n_turns: int = 200_000, n_files: int = 8, max_files: 
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_dedup_stream(spark, n_docs: int = 50_000, n_files: int = 10, max_files: int = 2):
+    """Throughput of the streaming ingest-dedup stage
+    (streaming/dedup_stream.py) on a deterministic synthetic corpus:
+    60% unique docs, 20% exact duplicates of an earlier doc, 20%
+    near-duplicates (same word set reordered — guaranteed all-band LSH
+    match). Returns (elapsed, docs_per_sec, n_admitted, n_flagged):
+    measured end-to-end over ~n_files/max_files micro-batches including
+    the growing index joins and the two-route exactly-once commit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_harmonization_dataflow_spark.streaming.dedup_stream import (
+        StreamingDedupPipeline,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_dedup_stream_")
+    try:
+        base = 3 * n_docs // 5
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                # template words from a stable per-doc seed; dup/near-dup
+                # classes pick an EARLIER base doc's seed so duplicates
+                # always land in the same or a later file
+                f"""concat_ws(' ', transform(sequence(0, 19), i -> concat(
+                  'w', conv(substring(md5(concat(
+                    cast(case
+                      when id < {base} then id
+                      when id % 2 = 0 then id % {base}
+                      else id % {base} end as string), '-', cast(
+                    case when id >= {base} and id % 2 = 1
+                         then 19 - i else i end as string))), 1, 8), 16, 10)
+                )))"""
+            ).alias("text"),
+        )
+        inp = os.path.join(root, "in")
+        docs.repartitionByRange(n_files, "doc_id").write.parquet(inp)
+        pipe = StreamingDedupPipeline(
+            out_dir=os.path.join(root, "out"),
+            max_files_per_trigger=max_files,
+        )
+        t0 = time.time()
+        pipe.run(spark, inp, os.path.join(root, "ckpt")).awaitTermination()
+        elapsed = time.time() - t0
+        admitted = pipe.documents(spark).count()
+        flagged = pipe.documents(spark).filter("near_dup").count()
+        return elapsed, n_docs / elapsed, admitted, flagged
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -235,6 +288,30 @@ def main():
         master=f"local[{cpus}]",
         shuffle_partitions=2 * int(cpus),
     )
+
+    if mode == "dedup_stream_only":
+        # opt-in: throughput of the streaming ingest-dedup stage (not part
+        # of the default suite; recorded in BENCH.md)
+        bench_dedup_stream(spark, 10_000)  # JIT warmup
+        best = None
+        for _ in range(2):
+            run = bench_dedup_stream(spark, int(os.environ.get("BENCH_DEDUP_DOCS", 50_000)))
+            best = run if best is None or run[1] > best[1] else best
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup_stream_docs_per_sec",
+                    "value": round(best[1]),
+                    "unit": "docs/sec",
+                    "queries": {"dedup_stream": round(best[0], 3)},
+                    "sf": "generated",
+                    "cpus": int(cpus),
+                    "admitted": best[2],
+                    "flagged_near_dup": best[3],
+                }
+            )
+        )
+        return
 
     if mode == "stream_only":
         # scaling-evidence mode: the streaming pipeline alone, JIT-warmed,
