@@ -708,11 +708,14 @@ def q_lsh_fp_rate(spark, sf_dir):
             dw.select(F.col("doc_id").alias("doc2"), F.col("w").alias("w2")),
             "doc2",
         )
+        .withColumn("si", F.expr("size(array_intersect(w1, w2))"))
         .withColumn(
+            # intersect computed ONCE per pair (a duplicated
+            # array_intersect inside the predicate is not reliably CSE'd
+            # through codegen and doubled the dominant cost)
             "v",
             F.expr(
-                "size(array_intersect(w1, w2)) / greatest(size(w1) + "
-                "size(w2) - size(array_intersect(w1, w2)), 1) >= 0.9"
+                "si / greatest(size(w1) + size(w2) - si, 1) >= 0.9"
             ),
         )
         .agg(
@@ -2354,14 +2357,15 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(text, '')), ' '), w -> w != '')) AS w
               FROM documents
             ),
-            j AS (
-              SELECT (len(list_intersect(a.w, b.w))
-                      / greatest(len(a.w) + len(b.w)
-                                 - len(list_intersect(a.w, b.w)), 1)
-                      >= 0.9) AS v
+            j0 AS (
+              SELECT len(list_intersect(a.w, b.w)) AS si,
+                     len(a.w) AS s1, len(b.w) AS s2
               FROM pairs p
               JOIN dwords a ON a.doc_id = p.doc1
               JOIN dwords b ON b.doc_id = p.doc2
+            ),
+            j AS (
+              SELECT (si / greatest(s1 + s2 - si, 1) >= 0.9) AS v FROM j0
             ),
             agg AS (
               SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,

@@ -402,14 +402,15 @@ def incremental_dedup(
     verified = (
         cand.join(fresh_words, "doc_id")
         .join(hist_words, "_hist_id")
+        .withColumn("_si", F.expr("size(array_intersect(_fw, _hw))"))
         .filter(
             # |A∩B| / (|A| + |B| - |A∩B|): arithmetic union size (arrays
             # are distinct) — the exact arithmetic shape the oracle uses,
-            # one correctly-rounded division each side
+            # one correctly-rounded division each side; the intersect is
+            # materialized ONCE (a duplicate inside the predicate is not
+            # reliably CSE'd through codegen and it is the dominant cost)
             F.expr(
-                "size(array_intersect(_fw, _hw)) / "
-                "greatest(size(_fw) + size(_hw) "
-                "- size(array_intersect(_fw, _hw)), 1) >= "
+                "_si / greatest(size(_fw) + size(_hw) - _si, 1) >= "
                 f"{float(verify_threshold)!r}"
             )
         )
@@ -487,15 +488,16 @@ def incremental_dedup_oracle_sql(
       JOIN histbd h USING ({val_keys})
     ),
     dwords AS (SELECT doc_id, {dw} AS w FROM documents),
-    ver AS (
-      SELECT DISTINCT c.doc_id
+    ver0 AS (
+      SELECT c.doc_id, len(list_intersect(a.w, b2.w)) AS si,
+             len(a.w) AS s1, len(b2.w) AS s2
       FROM cand c
       JOIN dwords a ON a.doc_id = c.doc_id
       JOIN dwords b2 ON b2.doc_id = c.hist_id
-      WHERE len(list_intersect(a.w, b2.w))
-            / greatest(len(a.w) + len(b2.w)
-                       - len(list_intersect(a.w, b2.w)), 1)
-            >= {float(verify_threshold)!r}
+    ),
+    ver AS (
+      SELECT DISTINCT doc_id FROM ver0
+      WHERE si / greatest(s1 + s2 - si, 1) >= {float(verify_threshold)!r}
     )
     SELECT f.doc_id,
            coalesce(m.n_band_matches, 0) AS n_band_matches,

@@ -264,11 +264,13 @@ class StreamingDedupPipeline:
         verified = (
             cand.join(hist_docs, "_hist_id")
             .join(fresh_words, "doc_id")
+            .withColumn("_si", F.expr("size(array_intersect(_fw, _hw))"))
             .withColumn(
+                # one intersect per pair; arithmetic union (arrays are
+                # distinct) — same shape as the batch analogue
                 "_jac",
                 F.expr(
-                    "size(array_intersect(_fw, _hw)) / "
-                    "greatest(size(array_union(_fw, _hw)), 1)"
+                    "_si / greatest(size(_fw) + size(_hw) - _si, 1)"
                 ),
             )
             .filter(F.col("_jac") >= float(self.verify_threshold))
