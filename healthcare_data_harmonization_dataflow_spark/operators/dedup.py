@@ -390,8 +390,11 @@ def incremental_dedup(
         .select("doc_id", "_hist_id")
         .distinct()
     )
+    # built directly (not by substring-replacing _SPARK_WORDS: a column
+    # named e.g. 'context' would be corrupted by a textual replace)
     words_of = F.expr(
-        _SPARK_WORDS.replace("text", f"coalesce({text_col}, '')")
+        f"array_distinct(filter(split(lower(coalesce({text_col}, '')), "
+        "' '), w -> w != ''))"
     )
     fresh_words = docs.select(
         F.col(id_col).alias("doc_id"), words_of.alias("_fw")
